@@ -1,0 +1,58 @@
+"""Benchmark harness: rays/s on the BASELINE headline config.
+
+Headline metric (BASELINE.md): forward path-tracing throughput in rays/s on
+the Cornell box at 4 spp (512x512, 4 bounces, NEE+MIS).  Target >= 200M
+rays/s/chip.  Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+vs_baseline = value / 200e6 (fraction of the north-star target).
+
+Ray accounting: rays/s counts ray QUERIES issued by active lanes — one
+closest-hit query per bounce plus one shadow query per NEE light sample —
+the standard wavefront-path-tracer definition.  Counts come from the real
+integrator loop (integrator.path.render_with_stats), not an estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import jax
+
+    from physically_based_renderer_tpu.core.camera import Camera
+    from physically_based_renderer_tpu.integrator.path import (
+        RenderConfig, render_with_stats)
+    from physically_based_renderer_tpu.scene.procedural import make_cornell_box
+    from physically_based_renderer_tpu.scene.types import upload_scene
+
+    cfg = RenderConfig(width=512, height=512, spp=4, max_bounces=4)
+    scene = upload_scene(make_cornell_box())
+    camera = Camera.make(position=(0.0, 1.0, 3.9), target=(0.0, 1.0, 0.0),
+                         fov_y=0.95)
+
+    # Compile + warm up.
+    film, count = render_with_stats(scene, camera, jax.random.key(0), cfg)
+    film.hdr.block_until_ready()
+    rays_per_frame = float(count)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        film, count = render_with_stats(scene, camera,
+                                        jax.random.key(i + 1), cfg)
+    film.hdr.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = rays_per_frame / dt
+    print(json.dumps({
+        "metric": "cornell_512_4spp_rays_per_s",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / 200e6,
+    }))
+
+
+if __name__ == "__main__":
+    main()

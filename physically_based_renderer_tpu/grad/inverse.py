@@ -1,0 +1,141 @@
+"""Inverse rendering: optimize scene parameters against target images.
+
+BASELINE config #5: "recover albedo/roughness textures + emitter radiance
+via pixel-loss gradients, multi-host sharded tiles".  The reference has no
+training of any kind; this subsystem is new.
+
+Structure: a `TrainableParams` pytree selects which scene quantities are
+optimized; `apply_params` grafts them into a Scene; `make_train_step` builds
+a jitted (optionally mesh-sharded) step: forward render -> pixel loss ->
+reverse-mode gradients (through the detached-sampling estimator, see
+integrator/path.py) -> optax update.  Under a sharded mesh the gradient
+all-reduce is inserted by XLA from the sharding propagation (psum over ICI),
+overlapping with the backward where the scheduler allows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core.camera import Camera
+from ..integrator.path import RenderConfig, render
+from ..parallel.sharding import render_sharded
+from ..scene.types import Scene
+
+
+@struct.dataclass
+class TrainableParams:
+    """Optimizable subset of the scene. None = frozen (not a leaf)."""
+
+    base_color_factor: Any = None   # f32[M,4]
+    roughness_factor: Any = None    # f32[M]
+    metallic_factor: Any = None     # f32[M]
+    emissive_factor: Any = None     # f32[M,3]
+    texture_data: Any = None        # f32[N,H,W,4]
+    env_data: Any = None            # f32[EH,EW,3]
+    vertex_positions: Any = None    # f32[V,3]
+
+    @classmethod
+    def from_scene(cls, scene: Scene, *, base_color=False, roughness=False,
+                   metallic=False, emissive=False, textures=False,
+                   env=False, vertices=False) -> "TrainableParams":
+        return cls(
+            base_color_factor=scene.materials.base_color_factor
+            if base_color else None,
+            roughness_factor=scene.materials.roughness_factor
+            if roughness else None,
+            metallic_factor=scene.materials.metallic_factor
+            if metallic else None,
+            emissive_factor=scene.materials.emissive_factor
+            if emissive else None,
+            texture_data=scene.textures.data if textures else None,
+            env_data=scene.env.data if (env and scene.env is not None)
+            else None,
+            vertex_positions=scene.geometry.positions if vertices else None,
+        )
+
+
+def apply_params(scene: Scene, p: TrainableParams) -> Scene:
+    """Graft trainable parameters into the scene (with physical clamps)."""
+    mats = scene.materials
+    if p.base_color_factor is not None:
+        mats = mats.replace(base_color_factor=jnp.clip(
+            p.base_color_factor, 0.0, 1.0))
+    if p.roughness_factor is not None:
+        mats = mats.replace(roughness_factor=jnp.clip(
+            p.roughness_factor, 0.0, 1.0))
+    if p.metallic_factor is not None:
+        mats = mats.replace(metallic_factor=jnp.clip(
+            p.metallic_factor, 0.0, 1.0))
+    if p.emissive_factor is not None:
+        mats = mats.replace(emissive_factor=jnp.maximum(
+            p.emissive_factor, 0.0))
+    scene = scene.replace(materials=mats)
+    if p.texture_data is not None:
+        scene = scene.replace(textures=scene.textures.replace(
+            data=jnp.clip(p.texture_data, 0.0, None)))
+    if p.env_data is not None:
+        scene = scene.replace(env=scene.env.replace(
+            data=jnp.maximum(p.env_data, 0.0)))
+    if p.vertex_positions is not None:
+        scene = scene.replace(geometry=scene.geometry.replace(
+            positions=p.vertex_positions))
+    return scene
+
+
+def pixel_loss(hdr: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Relative-L2 pixel loss (robust to HDR range, standard in inverse
+    rendering)."""
+    d = hdr - target
+    return jnp.mean(d * d / (jnp.square(jax.lax.stop_gradient(hdr)) + 1e-2))
+
+
+def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
+                    optimizer: optax.GradientTransformation,
+                    mesh=None):
+    """Build a jitted train step closed over static config/mesh.
+
+    step(params, opt_state, key, target) -> (params, opt_state, loss)
+    """
+
+    def loss_fn(params: TrainableParams, key, target):
+        s = apply_params(scene, params)
+        if mesh is not None:
+            film = render_sharded(s, camera, key, cfg, mesh)
+        else:
+            film = render(s, camera, key, cfg)
+        return pixel_loss(film.mean(), target)
+
+    @jax.jit
+    def step(params, opt_state, key, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def fit(scene: Scene, camera: Camera, target: jnp.ndarray,
+        params: TrainableParams, cfg: RenderConfig, *, steps: int = 100,
+        lr: float = 5e-2, seed: int = 0, mesh=None, log_every: int = 10,
+        callback=None):
+    """Run inverse rendering; returns (params, losses)."""
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    step = make_train_step(scene, camera, cfg, opt, mesh=mesh)
+    key = jax.random.key(seed)
+    losses = []
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k, target)
+        losses.append(float(loss))
+        if callback is not None and (i % log_every == 0 or i == steps - 1):
+            callback(i, losses[-1], params)
+    return params, losses

@@ -1,0 +1,298 @@
+"""Differentiable path-tracing integrator (dense/megasample form).
+
+The estimator the whole framework is built around (BASELINE.json north
+star): per-bounce loop of {closest hit, shade, NEE + MIS, BSDF sample}, all
+rays advancing in lockstep with masks — the statically-shaped, compiler-
+friendly formulation of a wavefront.  This module is the *dense* integrator
+(every ray slot occupied, no compaction); integrator/wavefront.py adds
+queue compaction for deep bounces and huge batches.
+
+Gradient strategy ("interior term" / detached sampling):
+  * radiometric quantities (BSDF value, cosines, emitted radiance, env
+    radiance, textures, normals) stay ATTACHED -> gradients flow to material
+    factors, texels, emitter radiance, and vertex positions;
+  * sampling DECISIONS (sampled directions, pdfs, CDF inversions, MIS
+    weights, RR) are DETACHED -> the estimator is an unbiased estimate of
+    the interior derivative of the rendering equation.
+This matches the finite-difference oracle for albedo / roughness / emission
+parameters (BASELINE "pixel gradients allclose vs finite differences").
+
+The reference analog of this file is the lighting pass + frame loop
+(`src/pbr_engine/engine/pbr/PbrRenderSystem.cpp:466-501`, `App.cpp:285-318`)
+— replaced wholesale by Monte-Carlo light transport.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rng_mod
+from ..core.camera import Camera, generate_rays
+from ..core.film import Film
+from ..core import math3d
+from ..models import lights as lights_mod
+from ..models.bsdf import eval_bsdf, sample_bsdf
+from ..ops.intersect import BIG, Hit, intersect_brute, occluded_brute
+from ..scene.types import Scene
+from .shading import shade_surface
+
+sg = jax.lax.stop_gradient
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable -> usable as a jit static arg)."""
+
+    width: int = 256
+    height: int = 256
+    spp: int = 4
+    max_bounces: int = 1          # number of BSDF bounces after the camera hit
+    nee: bool = True              # next-event estimation
+    mis: bool = True              # MIS between NEE and BSDF sampling
+    rr_start: int = 100           # bounce index where Russian roulette starts
+    ray_eps: float = 1e-3         # shadow/secondary ray offset
+    tri_chunk: int = 2048         # intersection chunk size
+
+
+def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
+    """Power heuristic (beta=2), detached."""
+    pa, pb = sg(pa), sg(pb)
+    a2 = pa * pa
+    return jnp.where(pa > 0.0, a2 / jnp.maximum(a2 + pb * pb, 1e-20), 0.0)
+
+
+def _tri_arrays(scene: Scene):
+    return scene.geometry.tri_vertices()
+
+
+def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                   keys: jax.Array, cfg: RenderConfig,
+                   return_stats: bool = False):
+    """Estimate radiance along rays (o, d) [N,3] -> L [N,3].
+
+    One sample per ray; callers average over spp.  `keys` is a PER-RAY key
+    array [N] (core.rng.ray_keys) so results are invariant to batching and
+    sharding.  With return_stats=True also returns the number of ray
+    queries issued by ACTIVE lanes (closest-hit + shadow), the honest
+    "rays" numerator for rays/s benchmarks.
+    """
+    n = o.shape[0]
+    ray_count = jnp.zeros((), jnp.float32)
+    v0, v1, v2 = _tri_arrays(scene)
+    tri_pdf_a = lights_mod.dense_tri_pdf_area(scene)
+    has_emitters = scene.has_emitters
+    has_env = scene.env is not None
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+    # pdf of the *previous* BSDF sampling decision, for MIS of emitter hits.
+    prev_pdf = jnp.zeros((n,), jnp.float32)  # 0 => treat as delta (camera)
+
+    for bounce in range(cfg.max_bounces + 1):
+        ray_count = ray_count + jnp.sum(active.astype(jnp.float32))
+        hit = intersect_brute(o, d, v0, v1, v2, t_min=0.0 if bounce == 0
+                              else cfg.ray_eps, chunk=cfg.tri_chunk)
+        miss = hit.miss
+
+        # --- escaped rays: environment ---------------------------------
+        if has_env:
+            env_l = lights_mod.env_radiance(scene, d)
+            if cfg.mis and cfg.nee and bounce > 0:
+                w_env = jnp.where(prev_pdf > 0.0,
+                                  _power_mis(prev_pdf,
+                                             lights_mod.env_pdf(scene, d)),
+                                  1.0)
+            else:
+                w_env = jnp.ones((n,), jnp.float32)
+            L = L + jnp.where((active & miss)[:, None],
+                              throughput * env_l * w_env[:, None], 0.0)
+        active = active & ~miss
+
+        sp = shade_surface(scene, hit, d)
+
+        # --- emitter hit through BSDF sampling (or camera) --------------
+        if has_emitters:
+            cos_l = jnp.sum(sp.ng * (-d), axis=-1)   # ng is oriented: >= 0
+            # Clamp t before squaring: miss lanes carry t=1e30 whose square
+            # overflows f32 to inf, and 0 * inf = NaN would ride the masked
+            # lanes into the backward pass (0-cotangent x NaN = NaN).
+            t_clamped = jnp.minimum(hit.t, 1e6)
+            dist2 = jnp.clip(t_clamped * t_clamped, 1e-12, 1e12)
+            pdf_nee_hit = (tri_pdf_a[jnp.maximum(hit.tri, 0)] * dist2
+                           / jnp.maximum(cos_l, 1e-6))
+            if cfg.mis and cfg.nee and bounce > 0:
+                w_em = jnp.where(prev_pdf > 0.0,
+                                 _power_mis(prev_pdf, pdf_nee_hit), 1.0)
+            elif cfg.nee and bounce > 0:
+                # NEE without MIS: emitter hits already fully counted by NEE.
+                w_em = jnp.zeros((n,), jnp.float32)
+            else:
+                w_em = jnp.ones((n,), jnp.float32)
+            L = L + jnp.where(active[:, None],
+                              throughput * sp.emissive * w_em[:, None], 0.0)
+
+        if bounce == cfg.max_bounces:
+            break
+
+        # --- local frame -----------------------------------------------
+        wo_w = -d
+        wo = math3d.to_local(wo_w, sp.tang, sp.bitang, sp.ns)
+        o_next_base = sp.pos + sp.ng * cfg.ray_eps
+
+        # --- NEE --------------------------------------------------------
+        if cfg.nee:
+            n_shadow = float((1 if has_emitters else 0)
+                             + (1 if has_env else 0) + 1)
+            ray_count = ray_count + n_shadow * jnp.sum(
+                active.astype(jnp.float32))
+            u = rng_mod.ray_uniform(keys, bounce, rng_mod.STREAM_LIGHT, 5)
+
+            if has_emitters:
+                ls = lights_mod.sample_area_emitters(
+                    scene, sg(sp.pos), u[:, 0], u[:, 1:3])
+                L = L + _nee_contrib(scene, sp, wo, d, ls, throughput,
+                                     active, o_next_base, v0, v1, v2, cfg,
+                                     mis=cfg.mis)
+            if has_env:
+                es = lights_mod.sample_env(scene, n, u[:, 3:5])
+                L = L + _nee_contrib(scene, sp, wo, d, es, throughput,
+                                     active, o_next_base, v0, v1, v2, cfg,
+                                     mis=cfg.mis)
+            # Directional (delta) light: always NEE, never MIS.
+            dl = lights_mod.sample_directional(scene, n)
+            L = L + _nee_contrib(scene, sp, wo, d, dl, throughput, active,
+                                 o_next_base, v0, v1, v2, cfg, mis=False,
+                                 delta=True)
+
+        # --- BSDF sampling ----------------------------------------------
+        ub = rng_mod.ray_uniform(keys, bounce, rng_mod.STREAM_BSDF, 3)
+        wi, f, pdf = sample_bsdf(sp.bsdf, wo, ub[:, 0], ub[:, 1:3])
+        wi = sg(wi)
+        cos_i = jnp.maximum(wi[..., 2], 0.0)
+        ok = (sg(pdf) > 1e-9) & (sg(cos_i) > 0.0)
+        weight = jnp.where(ok[:, None],
+                           f * cos_i[:, None] / sg(pdf)[:, None], 0.0)
+        throughput = throughput * weight
+        active = active & ok & (jnp.max(sg(throughput), axis=-1) > 0.0)
+
+        wi_world = math3d.to_world(wi, sp.tang, sp.bitang, sp.ns)
+        wi_world = sg(math3d.normalize(wi_world))
+        o = jnp.where(active[:, None], o_next_base, o)
+        d = jnp.where(active[:, None], wi_world, d)
+        prev_pdf = sg(pdf)
+
+        # --- Russian roulette ------------------------------------------
+        if bounce + 1 >= cfg.rr_start:
+            q = jnp.clip(jnp.max(sg(throughput), axis=-1), 0.05, 0.95)
+            u_r = rng_mod.ray_uniform(keys, bounce, rng_mod.STREAM_RR,
+                                      1)[:, 0]
+            survive = u_r < q
+            throughput = throughput / jnp.maximum(q, 1e-6)[:, None]
+            active = active & survive
+
+    if return_stats:
+        return L, ray_count
+    return L
+
+
+def _nee_contrib(scene, sp, wo, d, ls, throughput, active, o_shadow,
+                 v0, v1, v2, cfg, mis: bool, delta: bool = False):
+    """Shadow-ray test + weighted NEE contribution for one light sample."""
+    n = wo.shape[0]
+    wi_w = sg(ls.wi)
+    wi = math3d.to_local(wi_w, sp.tang, sp.bitang, sp.ns)
+    f, pdf_b = eval_bsdf(sp.bsdf, wo, wi)
+    cos_i = jnp.maximum(wi[..., 2], 0.0)
+    cand = active & ls.valid & (sg(cos_i) > 1e-7) & (sg(ls.pdf) > 0.0)
+    # Avoid tracing shadow rays for hopeless samples but keep static shape.
+    t_max = sg(ls.dist) * (1.0 - 1e-3)
+    occ = occluded_brute(sg(o_shadow), wi_w, v0, v1, v2,
+                         t_min=cfg.ray_eps, t_max=t_max,
+                         chunk=cfg.tri_chunk)
+    vis = cand & ~occ
+    w = _power_mis(ls.pdf, pdf_b) if (mis and not delta) else jnp.ones(
+        (n,), jnp.float32)
+    contrib = (throughput * f * ls.radiance
+               * (cos_i * w / jnp.maximum(sg(ls.pdf), 1e-12))[:, None])
+    return jnp.where(vis[:, None], contrib, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Full-frame rendering
+# ---------------------------------------------------------------------------
+
+def render_sample(scene: Scene, camera: Camera, key: jax.Array,
+                  cfg: RenderConfig, row_start=0,
+                  n_rows: int | None = None) -> jnp.ndarray:
+    """One sample per pixel for a row band -> radiance [n_rows, W, 3].
+
+    `key` is the per-sample base key; per-ray keys derive from GLOBAL pixel
+    ids so a band render equals the corresponding slice of a full render.
+    """
+    if n_rows is None:
+        n_rows = cfg.height
+    row_ids = jnp.arange(n_rows) + row_start
+    pix = (row_ids[:, None] * cfg.width + jnp.arange(cfg.width)).reshape(-1)
+    keys = rng_mod.ray_keys(key, pix)
+    jitter = rng_mod.ray_uniform(keys, 0, rng_mod.STREAM_PIXEL_JITTER,
+                                 2).reshape(n_rows, cfg.width, 2)
+    o, d = generate_rays(camera, cfg.width, cfg.height, jitter,
+                         row_start=row_start, n_rows=n_rows)
+    L = trace_radiance(scene, o.reshape(-1, 3), d.reshape(-1, 3), keys, cfg)
+    return L.reshape(n_rows, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render(scene: Scene, camera: Camera, key: jax.Array,
+           cfg: RenderConfig) -> Film:
+    """Render cfg.spp samples, scanning over samples to bound memory."""
+    film = Film.zeros(cfg.height, cfg.width)
+    keys = jax.random.split(key, cfg.spp)
+
+    def body(f, k):
+        return f.add_samples(render_sample(scene, camera, k, cfg)), None
+
+    film, _ = jax.lax.scan(body, film, keys)
+    return film
+
+
+def render_image(scene: Scene, camera: Camera, seed: int,
+                 cfg: RenderConfig) -> jnp.ndarray:
+    """Convenience: render -> mean HDR image [H,W,3]."""
+    return render(scene, camera, jax.random.key(seed), cfg).mean()
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_with_stats(scene: Scene, camera: Camera, key: jax.Array,
+                      cfg: RenderConfig):
+    """Render + exact ray-query count (for rays/s benchmarks)."""
+    film = Film.zeros(cfg.height, cfg.width)
+    keys = jax.random.split(key, cfg.spp)
+
+    def one(key):
+        row_ids = jnp.arange(cfg.height)
+        pix = (row_ids[:, None] * cfg.width
+               + jnp.arange(cfg.width)).reshape(-1)
+        rkeys = rng_mod.ray_keys(key, pix)
+        jitter = rng_mod.ray_uniform(
+            rkeys, 0, rng_mod.STREAM_PIXEL_JITTER, 2).reshape(
+                cfg.height, cfg.width, 2)
+        o, d = generate_rays(camera, cfg.width, cfg.height, jitter)
+        L, count = trace_radiance(scene, o.reshape(-1, 3), d.reshape(-1, 3),
+                                  rkeys, cfg, return_stats=True)
+        return L.reshape(cfg.height, cfg.width, 3), count
+
+    def body(carry, k):
+        f, c = carry
+        radiance, count = one(k)
+        return (f.add_samples(radiance), c + count), None
+
+    (film, count), _ = jax.lax.scan(body, (film, jnp.zeros((),
+                                                           jnp.float32)),
+                                    keys)
+    return film, count

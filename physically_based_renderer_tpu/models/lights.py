@@ -1,0 +1,151 @@
+"""Light models + next-event-estimation sampling.
+
+Light family (SURVEY.md section 2.10 / BASELINE north star):
+  * area emitters  — emissive glTF materials on triangles (the reference has
+    no lights at all beyond its headlight hack, `pbr/lighting.glsl:25-27`);
+  * directional    — sun / headlight;
+  * environment    — equirect HDR map with 2D-CDF importance sampling.
+
+All samplers return solid-angle pdfs so the integrator can MIS them against
+BSDF sampling (balance/power heuristic).  Sampling decisions consume plain
+U[0,1) numbers so the caller controls the RNG (core/rng.py keying).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.texture import sample_env_bilinear
+from ..scene.types import Scene
+
+BIG = 1e30
+
+
+@struct.dataclass
+class LightSample:
+    """One NEE sample per ray."""
+
+    wi: jnp.ndarray        # f32[N,3] unit direction toward the light
+    dist: jnp.ndarray      # f32[N] distance to the light (BIG for infinite)
+    radiance: jnp.ndarray  # f32[N,3] emitted radiance toward the shading pt
+    pdf: jnp.ndarray       # f32[N] solid-angle pdf (0 => invalid sample)
+    valid: jnp.ndarray     # bool[N]
+
+
+def dense_tri_pdf_area(scene: Scene) -> jnp.ndarray:
+    """Per-triangle area-measure pdf of NEE picking that triangle point:
+    p_A(tri) = P(tri) / area(tri); 0 for non-emitters.  Used for MIS when a
+    BSDF ray happens to hit an emitter."""
+    t = scene.geometry.num_tris
+    dense = jnp.zeros((t,), jnp.float32)
+    p = jnp.where(scene.emitters.valid,
+                  scene.emitters.pdf_tri / jnp.maximum(scene.emitters.area,
+                                                       1e-12), 0.0)
+    return dense.at[scene.emitters.tri_idx].add(p)
+
+
+def sample_area_emitters(scene: Scene, p: jnp.ndarray, u1: jnp.ndarray,
+                         u2: jnp.ndarray) -> LightSample:
+    """Sample a point on the emissive triangles from shading points p[N,3].
+
+    u1[N] picks the emitter (CDF inversion), u2[N,2] the point (uniform
+    barycentric).  Emission is one-sided: a point emits only into the
+    hemisphere of its geometric normal.
+    """
+    em = scene.emitters
+    n = p.shape[0]
+    e_idx = jnp.searchsorted(em.cdf, u1, side="left")
+    e_idx = jnp.clip(e_idx, 0, em.num_emitters - 1)
+    tri = em.tri_idx[e_idx]                     # [N]
+    pdf_tri = em.pdf_tri[e_idx]
+    area = jnp.maximum(em.area[e_idx], 1e-12)
+
+    idx = scene.geometry.indices[tri]           # [N,3]
+    v0 = scene.geometry.positions[idx[:, 0]]
+    v1 = scene.geometry.positions[idx[:, 1]]
+    v2 = scene.geometry.positions[idx[:, 2]]
+    # Uniform triangle sampling (sqrt trick)
+    su = jnp.sqrt(jnp.clip(u2[:, 0], 0.0, 1.0))
+    b1 = 1.0 - su
+    b2 = u2[:, 1] * su
+    lp = v0 + b1[:, None] * (v1 - v0) + b2[:, None] * (v2 - v0)
+    ng = jnp.cross(v1 - v0, v2 - v0)
+    ng2 = jnp.maximum(jnp.sum(ng * ng, axis=-1, keepdims=True), 1e-20)
+    ng = ng * jax.lax.rsqrt(ng2)
+
+    to_l = lp - p
+    dist2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_l / dist[:, None]
+    cos_l = jnp.sum(ng * (-wi), axis=-1)        # light-side cosine
+
+    mat = scene.geometry.tri_material[tri]
+    radiance = scene.materials.emissive_factor[mat]
+    pdf_sa = pdf_tri / area * dist2 / jnp.maximum(cos_l, 1e-6)
+    valid = (cos_l > 1e-6) & (pdf_tri > 0.0)
+    zero = jnp.zeros((n,), jnp.float32)
+    return LightSample(
+        wi=wi, dist=dist,
+        radiance=jnp.where(valid[:, None], radiance, 0.0),
+        pdf=jnp.where(valid, pdf_sa, zero),
+        valid=valid)
+
+
+def sample_directional(scene: Scene, n_rays: int) -> LightSample:
+    """Delta directional light: wi = -light.direction, pdf treated as 1
+    (delta measure; never MIS-weighted against BSDF sampling)."""
+    d = scene.directional
+    wi = jnp.broadcast_to(-d.direction, (n_rays, 3))
+    radiance = jnp.broadcast_to(d.radiance, (n_rays, 3))
+    on = jnp.sum(d.radiance) > 0.0
+    valid = jnp.broadcast_to(on, (n_rays,))
+    return LightSample(wi=wi, dist=jnp.full((n_rays,), BIG, jnp.float32),
+                       radiance=radiance,
+                       pdf=jnp.ones((n_rays,), jnp.float32),
+                       valid=valid)
+
+
+def _inverse_cdf(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Vector inverse of an inclusive CDF: smallest i with cdf[i] >= u."""
+    i = jnp.searchsorted(cdf, u, side="left")
+    return jnp.clip(i, 0, cdf.shape[0] - 1)
+
+
+def sample_env(scene: Scene, n_rays: int, u2: jnp.ndarray) -> LightSample:
+    """Importance-sample the environment map (2D CDF inversion)."""
+    env = scene.env
+    h, w = env.data.shape[0], env.data.shape[1]
+    row = _inverse_cdf(env.marginal_cdf, u2[:, 0])                 # [N]
+    cond = env.conditional_cdf[row]                                # [N, W]
+    # Row-wise searchsorted via vectorized comparison (W is small enough).
+    col = jnp.sum((cond < u2[:, 1:2]).astype(jnp.int32), axis=-1)
+    col = jnp.clip(col, 0, w - 1)
+    theta = (row.astype(jnp.float32) + 0.5) / h * jnp.pi
+    phi = ((col.astype(jnp.float32) + 0.5) / w - 0.5) * 2.0 * jnp.pi
+    sin_t = jnp.sin(theta)
+    wi = jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta),
+                    sin_t * jnp.sin(phi)], axis=-1)
+    radiance = env.data[row, col]
+    pdf = env.pdf[row, col]
+    valid = pdf > 0.0
+    return LightSample(wi=wi, dist=jnp.full((n_rays,), BIG, jnp.float32),
+                       radiance=radiance, pdf=pdf, valid=valid)
+
+
+def env_pdf(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of env NEE producing direction d[N,3] (for MIS)."""
+    env = scene.env
+    h, w = env.data.shape[0], env.data.shape[1]
+    theta = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(d[:, 2], d[:, 0])
+    row = jnp.clip((theta / jnp.pi * h).astype(jnp.int32), 0, h - 1)
+    col = jnp.clip(((phi / (2.0 * jnp.pi) + 0.5) * w).astype(jnp.int32),
+                   0, w - 1)
+    return env.pdf[row, col]
+
+
+def env_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
+    """Environment radiance for escaped rays (bilinear)."""
+    return sample_env_bilinear(scene.env.data, d)

@@ -1,0 +1,229 @@
+"""Procedural test scenes for the BASELINE.json benchmark configs.
+
+These play the role of the reference's missing binary test assets
+(`.MISSING_LARGE_BLOBS` lists assets/models/test_scene.glb) — small,
+hand-constructed geometry with known analytic behavior, used by golden tests
+and benchmarks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .types import (DirectionalLight, EnvMap, Geometry, Materials, Scene,
+                    TextureStack, make_scene)
+
+
+def _geometry_from_arrays(positions, indices, tri_material, uvs=None,
+                          normals=None, tangents=None) -> Geometry:
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32)
+    v = positions.shape[0]
+    if normals is None:
+        normals = _vertex_normals(positions, indices)
+    if uvs is None:
+        uvs = np.zeros((v, 2), np.float32)
+    if tangents is None:
+        tangents = _default_tangents(np.asarray(normals, np.float32))
+    return Geometry(
+        positions=positions,
+        normals=np.asarray(normals, np.float32),
+        tangents=np.asarray(tangents, np.float32),
+        uvs=np.asarray(uvs, np.float32),
+        indices=indices,
+        tri_material=np.asarray(tri_material, np.int32),
+    )
+
+
+def _vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (counter-clockwise winding)."""
+    n = np.zeros_like(positions)
+    v0, v1, v2 = (positions[indices[:, k]] for k in range(3))
+    face_n = np.cross(v1 - v0, v2 - v0)
+    for k in range(3):
+        np.add.at(n, indices[:, k], face_n)
+    lens = np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n / np.maximum(lens, 1e-12)).astype(np.float32)
+
+
+def _default_tangents(normals: np.ndarray) -> np.ndarray:
+    """Arbitrary valid tangent frame per vertex (w=+1)."""
+    t = np.zeros((normals.shape[0], 4), np.float32)
+    a = np.where(np.abs(normals[:, 0:1]) < 0.9,
+                 np.array([[1.0, 0, 0]], np.float32),
+                 np.array([[0, 1.0, 0]], np.float32))
+    tan = np.cross(a, normals)
+    tan /= np.maximum(np.linalg.norm(tan, axis=-1, keepdims=True), 1e-12)
+    t[:, :3] = tan
+    t[:, 3] = 1.0
+    return t
+
+
+def make_triangle_scene(albedo=(0.8, 0.3, 0.2),
+                        light_dir=(0.0, 0.0, -1.0),
+                        light_radiance=(3.0, 3.0, 3.0)) -> Scene:
+    """BASELINE config #1: one Lambertian triangle + directional light.
+
+    Triangle in the z=0 plane facing +z; camera looks down -z toward it.
+    Analytic: pixel radiance = albedo/pi * max(0, n.l) * radiance for hit
+    pixels, 0 elsewhere.
+    """
+    positions = [[-1.0, -1.0, 0.0], [1.0, -1.0, 0.0], [0.0, 1.0, 0.0]]
+    indices = [[0, 1, 2]]
+    normals = [[0.0, 0.0, 1.0]] * 3
+    uvs = [[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]]
+    geometry = _geometry_from_arrays(positions, indices, [0], uvs=uvs,
+                                     normals=normals)
+    mats = Materials.default(1)
+    mats = mats.replace(
+        base_color_factor=np.array([[*albedo, 1.0]], np.float32),
+        roughness_factor=np.ones((1,), np.float32),
+        metallic_factor=np.zeros((1,), np.float32),
+        specular_factor=np.zeros((1,), np.float32))  # exact Lambert
+    directional = DirectionalLight(
+        direction=(np.asarray(light_dir, np.float32)
+                   / np.linalg.norm(light_dir)).astype(np.float32),
+        radiance=np.asarray(light_radiance, np.float32))
+    return make_scene(geometry, mats, directional=directional)
+
+
+# Cornell-box layout: the classic box in a y-up right-handed frame, camera at
+# +z looking toward -z. Dimensions follow the classic Cornell data scaled to
+# a unit-ish box: x in [-1,1], y in [0,2], z in [-1,1], open +z face.
+CORNELL_WHITE = (0.73, 0.73, 0.73)
+CORNELL_RED = (0.65, 0.05, 0.05)
+CORNELL_GREEN = (0.12, 0.45, 0.15)
+CORNELL_LIGHT = (17.0, 12.0, 4.0)
+
+
+def _quad(p00, p10, p11, p01):
+    """Two CCW triangles for quad corners given in order."""
+    return [p00, p10, p11, p01], [[0, 1, 2], [0, 2, 3]]
+
+
+def make_cornell_box(light_scale: float = 1.0,
+                     metallic_tall_block: bool = False,
+                     roughness: float = 1.0) -> Scene:
+    """BASELINE config #2/#3: Cornell box with area light (+ optional GGX
+    metallic tall block for the materials config)."""
+    verts: list = []
+    faces: list = []
+    mat_ids: list = []
+
+    def add_quad(corners, mat):
+        v, f = _quad(*corners)
+        base = len(verts)
+        verts.extend(v)
+        faces.extend([[i + base for i in tri] for tri in f])
+        mat_ids.extend([mat, mat])
+
+    # materials: 0 white, 1 red, 2 green, 3 light, 4 blocks
+    # floor (y=0, normal +y)
+    add_quad(([-1, 0, 1], [1, 0, 1], [1, 0, -1], [-1, 0, -1]), 0)
+    # ceiling (y=2, normal -y)
+    add_quad(([-1, 2, -1], [1, 2, -1], [1, 2, 1], [-1, 2, 1]), 0)
+    # back wall (z=-1, normal +z)
+    add_quad(([-1, 0, -1], [1, 0, -1], [1, 2, -1], [-1, 2, -1]), 0)
+    # left wall (x=-1, normal +x) red
+    add_quad(([-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1]), 1)
+    # right wall (x=1, normal -x) green
+    add_quad(([1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1]), 2)
+    # area light: small quad just under the ceiling, normal -y
+    s = 0.35
+    eps = 1e-3
+    add_quad(([-s, 2 - eps, -s], [s, 2 - eps, -s], [s, 2 - eps, s],
+              [-s, 2 - eps, s]), 3)
+
+    # short block (right-front) and tall block (left-back), axis-aligned
+    def add_box(cx, cz, sx, sz, h, mat):
+        x0, x1 = cx - sx, cx + sx
+        z0, z1 = cz - sz, cz + sz
+        add_quad(([x0, h, z1], [x1, h, z1], [x1, h, z0], [x0, h, z0]), mat)  # top
+        add_quad(([x0, 0, z1], [x1, 0, z1], [x1, h, z1], [x0, h, z1]), mat)  # +z
+        add_quad(([x1, 0, z0], [x0, 0, z0], [x0, h, z0], [x1, h, z0]), mat)  # -z
+        add_quad(([x1, 0, z1], [x1, 0, z0], [x1, h, z0], [x1, h, z1]), mat)  # +x
+        add_quad(([x0, 0, z0], [x0, 0, z1], [x0, h, z1], [x0, h, z0]), mat)  # -x
+
+    add_box(0.35, 0.35, 0.25, 0.25, 0.6, 0)   # short block, white
+    add_box(-0.35, -0.3, 0.25, 0.25, 1.2, 4)  # tall block
+
+    geometry = _geometry_from_arrays(verts, faces, mat_ids)
+
+    m = Materials.default(5)
+    base = np.ones((5, 4), np.float32)
+    base[0, :3] = CORNELL_WHITE
+    base[1, :3] = CORNELL_RED
+    base[2, :3] = CORNELL_GREEN
+    base[3, :3] = (0.0, 0.0, 0.0)  # light emits, reflects nothing
+    base[4, :3] = CORNELL_WHITE if not metallic_tall_block else (0.95, 0.93, 0.88)
+    emissive = np.zeros((5, 3), np.float32)
+    emissive[3] = np.asarray(CORNELL_LIGHT) * light_scale
+    metallic = np.zeros((5,), np.float32)
+    rough = np.ones((5,), np.float32)
+    if metallic_tall_block:
+        metallic[4] = 1.0
+        rough[4] = roughness
+    # Config #2 is "diffuse-only path tracing": zero dielectric specular so
+    # the walls are exact Lambert; the metallic block (config #3) gets its
+    # F0 from base_color via metallic=1 regardless of specular_factor.
+    spec = np.zeros((5,), np.float32)
+    m = m.replace(base_color_factor=base, emissive_factor=emissive,
+                  metallic_factor=metallic, roughness_factor=rough,
+                  specular_factor=spec)
+    return make_scene(geometry, m)
+
+
+def make_furnace_scene(albedo: float = 0.7, env_radiance: float = 1.0,
+                       metallic: float = 0.0, roughness: float = 1.0,
+                       specular: float = 0.0) -> Scene:
+    """Furnace test: a sphere in a constant environment. For a Lambert
+    furnace (specular=0) the sphere must render to albedo-weighted background
+    radiance sums; with albedo 1 it disappears into the background.
+    """
+    sphere = make_uv_sphere(radius=1.0, rings=32, sectors=64)
+    m = Materials.default(1)
+    m = m.replace(
+        base_color_factor=np.asarray([[albedo, albedo, albedo, 1.0]],
+                                     np.float32),
+        metallic_factor=np.asarray([metallic], np.float32),
+        roughness_factor=np.asarray([roughness], np.float32),
+        specular_factor=np.asarray([specular], np.float32))
+    env = EnvMap.constant((env_radiance,) * 3)
+    return make_scene(sphere, m, env=env)
+
+
+def make_uv_sphere(radius: float = 1.0, rings: int = 16, sectors: int = 32,
+                   center=(0.0, 0.0, 0.0), material: int = 0) -> Geometry:
+    """UV-sphere triangle mesh with exact normals and spherical UVs."""
+    ring_t = np.linspace(0.0, np.pi, rings + 1)
+    sec_t = np.linspace(0.0, 2.0 * np.pi, sectors + 1)
+    verts, normals, uvs = [], [], []
+    for i, th in enumerate(ring_t):
+        for j, ph in enumerate(sec_t):
+            n = np.array([np.sin(th) * np.cos(ph), np.cos(th),
+                          np.sin(th) * np.sin(ph)], np.float32)
+            verts.append(np.asarray(center, np.float32) + radius * n)
+            normals.append(n)
+            uvs.append([j / sectors, i / rings])
+    faces = []
+    stride = sectors + 1
+    for i in range(rings):
+        for j in range(sectors):
+            a = i * stride + j
+            b = a + stride
+            faces.append([a, b, a + 1])
+            faces.append([a + 1, b, b + 1])
+    faces_np = np.asarray(faces, np.int32)
+    return _geometry_from_arrays(
+        np.asarray(verts), faces_np, [material] * len(faces_np),
+        uvs=np.asarray(uvs, np.float32), normals=np.asarray(normals))
+
+
+def make_random_tris(n: int, seed: int = 0, extent: float = 1.0) -> Geometry:
+    """Random triangle soup for BVH stress tests."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    offs = rng.normal(0.0, 0.1 * extent, (n, 3, 3)).astype(np.float32)
+    verts = (centers[:, None, :] + offs).reshape(-1, 3)
+    faces = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    return _geometry_from_arrays(verts, faces, [0] * n)

@@ -1,0 +1,291 @@
+"""Scene representation: flat structure-of-arrays pytrees.
+
+TPU-native replacement for the reference's retained scene objects:
+  * Mesh/PrimitiveSpan (one interleaved VB + u16 IB per mesh,
+    `src/pbr_engine/engine/pbr/Mesh.hpp:15-42`)  ->  ONE global SoA geometry
+    arena with per-triangle material ids (AoS->SoA: interleaved MeshVertex
+    `MeshVertex.hpp:14-19` becomes positions/normals/tangents/uvs arrays).
+  * Material (UBO + color/normal textures, `Material.{hpp,cpp}`)  ->  SoA
+    material table, extended to FULL glTF metallic-roughness (the reference
+    plumbs only baseColorFactor, `gltf/Asset.cpp:142-146`; the north star
+    requires metallic/roughness/emissive too).
+  * Texture/sampler objects  ->  a padded texture stack array + per-texture
+    metadata (true size, wrap mode), sampled by Pallas/jnp gather.
+  * Scene graph (Scene/Node/Transform, `Scene.hpp:19-83`)  ->  kept host-side
+    in scene/graph.py; flattening bakes world transforms into the arena
+    (fastgltf DecomposeNodeMatrices analog, `gltf/Loader.cpp:18-21`).
+
+Everything here is a flax.struct pytree of device arrays: it jits, shards
+(replicated per host, SURVEY.md section 2.10), donates, and differentiates
+(gradients flow into material factors, texture texels, emitter radiance, and
+vertex positions — the inverse-rendering parameter set).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# Texture wrap modes (glTF sampler wrapS/T; reference loadSampler
+# `gltf/Asset.cpp:103-120` maps the same enum onto vk::SamplerAddressMode).
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+WRAP_MIRROR = 2
+
+
+@struct.dataclass
+class Geometry:
+    """World-space triangle soup (transforms baked at build)."""
+
+    positions: jnp.ndarray    # f32[V, 3]
+    normals: jnp.ndarray      # f32[V, 3]
+    tangents: jnp.ndarray     # f32[V, 4] xyz tangent, w bitangent sign
+    uvs: jnp.ndarray          # f32[V, 2]
+    indices: jnp.ndarray      # i32[T, 3]
+    tri_material: jnp.ndarray  # i32[T]
+
+    @property
+    def num_tris(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+    def tri_vertices(self):
+        """Gather per-triangle corner positions -> (v0, v1, v2) each f32[T,3]."""
+        p = self.positions
+        i = self.indices
+        return p[i[:, 0]], p[i[:, 1]], p[i[:, 2]]
+
+
+@struct.dataclass
+class Materials:
+    """glTF 2.0 metallic-roughness material table (SoA over materials)."""
+
+    base_color_factor: jnp.ndarray  # f32[M, 4]
+    metallic_factor: jnp.ndarray    # f32[M]
+    roughness_factor: jnp.ndarray   # f32[M]
+    emissive_factor: jnp.ndarray    # f32[M, 3]
+    normal_scale: jnp.ndarray       # f32[M]
+    # KHR_materials_specular specularFactor: scales dielectric F0 (0.04);
+    # 0 => pure Lambert (BASELINE config #1 needs exact Lambertian).
+    specular_factor: jnp.ndarray    # f32[M]
+    # Texture indices into the TextureStack; -1 = no texture.
+    base_color_tex: jnp.ndarray     # i32[M]
+    metallic_roughness_tex: jnp.ndarray  # i32[M]
+    normal_tex: jnp.ndarray         # i32[M]
+    emissive_tex: jnp.ndarray       # i32[M]
+
+    @property
+    def num_materials(self) -> int:
+        return self.base_color_factor.shape[0]
+
+    @classmethod
+    def default(cls, n: int = 1) -> "Materials":
+        # numpy on purpose: scene construction is host-side (one device_put
+        # stages the whole arena, the TransferStager analog — SURVEY 3.4).
+        return cls(
+            base_color_factor=np.ones((n, 4), np.float32),
+            metallic_factor=np.zeros((n,), np.float32),
+            roughness_factor=np.ones((n,), np.float32),
+            emissive_factor=np.zeros((n, 3), np.float32),
+            normal_scale=np.ones((n,), np.float32),
+            specular_factor=np.ones((n,), np.float32),
+            base_color_tex=np.full((n,), -1, np.int32),
+            metallic_roughness_tex=np.full((n,), -1, np.int32),
+            normal_tex=np.full((n,), -1, np.int32),
+            emissive_tex=np.full((n,), -1, np.int32),
+        )
+
+
+@struct.dataclass
+class TextureStack:
+    """All scene textures in one padded [N, H, W, 4] array (linear space).
+
+    Color textures are sRGB-decoded at ingest; normal/MR maps stay linear —
+    matching what the reference's Unorm sampling + shader math produce.
+    Index -1 anywhere means "no texture" and callers substitute 1.0.
+    """
+
+    data: jnp.ndarray   # f32[N, H, W, 4]
+    sizes: jnp.ndarray  # i32[N, 2] true (height, width) of each texture
+    wrap: jnp.ndarray   # i32[N, 2] (wrapS, wrapT) WRAP_* enums
+
+    @classmethod
+    def empty(cls) -> "TextureStack":
+        return cls(data=np.ones((1, 1, 1, 4), np.float32),
+                   sizes=np.ones((1, 2), np.int32),
+                   wrap=np.zeros((1, 2), np.int32))
+
+
+@struct.dataclass
+class EmitterTable:
+    """Precomputed emissive-triangle table for next-event estimation.
+
+    Radiance itself is NOT stored here — NEE reads
+    materials.emissive_factor[mat] so emitter-radiance gradients flow; this
+    table only holds the (detached) sampling distribution.
+    """
+
+    tri_idx: jnp.ndarray   # i32[E] triangle ids (padded with 0, masked)
+    valid: jnp.ndarray     # bool[E]
+    area: jnp.ndarray      # f32[E] world-space area
+    pdf_tri: jnp.ndarray   # f32[E] discrete prob of picking each emitter
+    cdf: jnp.ndarray       # f32[E] inclusive CDF over pdf_tri
+
+    @classmethod
+    def empty(cls) -> "EmitterTable":
+        z = np.zeros((1,), np.float32)
+        return cls(tri_idx=np.zeros((1,), np.int32),
+                   valid=np.zeros((1,), bool),
+                   area=z, pdf_tri=z, cdf=np.ones((1,), np.float32))
+
+    @property
+    def num_emitters(self) -> int:
+        return self.tri_idx.shape[0]
+
+
+@struct.dataclass
+class DirectionalLight:
+    """Single directional 'sun' (also models the reference's headlight debug
+    mode when direction tracks the camera, `assets/shaders/pbr/lighting.glsl:
+    25-27` L = V)."""
+
+    direction: jnp.ndarray  # f32[3] unit, points FROM light TOWARD scene
+    radiance: jnp.ndarray   # f32[3]; zeros = disabled
+
+    @classmethod
+    def off(cls) -> "DirectionalLight":
+        return cls(direction=np.array([0.0, -1.0, 0.0], np.float32),
+                   radiance=np.zeros((3,), np.float32))
+
+
+@struct.dataclass
+class EnvMap:
+    """Equirect HDR environment map with importance-sampling tables."""
+
+    data: jnp.ndarray             # f32[H, W, 3] radiance
+    conditional_cdf: jnp.ndarray  # f32[H, W] per-row inclusive CDF over x
+    marginal_cdf: jnp.ndarray     # f32[H] inclusive CDF over rows
+    pdf: jnp.ndarray              # f32[H, W] solid-angle pdf of each texel
+
+    @classmethod
+    def constant(cls, radiance, height: int = 8, width: int = 16) -> "EnvMap":
+        data = np.broadcast_to(np.asarray(radiance, np.float32),
+                               (height, width, 3))
+        return build_env_tables(data)
+
+
+@struct.dataclass
+class Scene:
+    geometry: Geometry
+    materials: Materials
+    textures: TextureStack
+    emitters: EmitterTable
+    directional: DirectionalLight
+    env: EnvMap | None
+    # Static (non-pytree) flag: lets integrators skip emitter code paths at
+    # TRACE time for scenes with no emissive materials.
+    has_emitters: bool = struct.field(pytree_node=False, default=False)
+
+
+def build_env_tables(data) -> EnvMap:
+    """Build the 2D-CDF importance tables for an equirect env map.
+
+    pdf is in solid-angle measure: p(omega) = p_img(x,y) * (H*W) / (2 pi^2
+    sin(theta)).  Host-side numpy (ingest-time).  NOTE: when inverse
+    rendering optimizes env.data the tables go stale, which is STILL an
+    unbiased estimator (any positive sampling pdf works) as long as env.pdf
+    matches the cdf tables actually sampled — both stay fixed together.
+    """
+    data = np.asarray(data, np.float32)
+    h, w = data.shape[0], data.shape[1]
+    lum = np.maximum(data.mean(axis=-1), 1e-12)
+    # Weight rows by sin(theta) so the flat equirect oversampling of poles
+    # is corrected in the sampling distribution.
+    theta = (np.arange(h, dtype=np.float32) + 0.5) / h * np.pi
+    sin_t = np.sin(theta).astype(np.float32)
+    weighted = lum * sin_t[:, None]
+    row_sums = weighted.sum(axis=1)
+    total = max(row_sums.sum(), 1e-12)
+    conditional_cdf = np.cumsum(weighted, axis=1) / np.maximum(
+        row_sums[:, None], 1e-12)
+    marginal_cdf = np.cumsum(row_sums) / total
+    # image-space pdf -> solid-angle pdf
+    p_img = weighted / total  # prob of each texel
+    pdf_sa = p_img * (h * w) / (2.0 * np.pi * np.pi * np.maximum(
+        sin_t[:, None], 1e-6))
+    return EnvMap(data=data,
+                  conditional_cdf=conditional_cdf.astype(np.float32),
+                  marginal_cdf=marginal_cdf.astype(np.float32),
+                  pdf=pdf_sa.astype(np.float32))
+
+
+def build_emitter_table(geometry, materials, pad_to: int | None = None,
+                        np_mod=np) -> EmitterTable:
+    """Host-side scan for emissive triangles -> sampling table.
+
+    Power-weighted discrete distribution (area x luminance of
+    emissive_factor); probabilities are detached by construction (numpy).
+    """
+    pos = np.asarray(geometry.positions)
+    idx = np.asarray(geometry.indices)
+    tri_mat = np.asarray(geometry.tri_material)
+    emissive = np.asarray(materials.emissive_factor)
+
+    v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    lum = emissive[tri_mat] @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+    power = area * np.maximum(lum, 0.0)
+    ids = np.nonzero(power > 0.0)[0].astype(np.int32)
+
+    if ids.size == 0:
+        return EmitterTable.empty()
+
+    e = ids.size
+    cap = pad_to or e
+    assert cap >= e
+    tri_idx = np.zeros((cap,), np.int32)
+    tri_idx[:e] = ids
+    valid = np.zeros((cap,), bool)
+    valid[:e] = True
+    areas = np.zeros((cap,), np.float32)
+    areas[:e] = area[ids]
+    p = np.zeros((cap,), np.float32)
+    p[:e] = power[ids] / power[ids].sum()
+    cdf = np.cumsum(p)
+    cdf[e - 1:] = 1.0
+    return EmitterTable(tri_idx=tri_idx, valid=valid, area=areas, pdf_tri=p,
+                        cdf=cdf.astype(np.float32))
+
+
+def upload_scene(scene: Scene, device=None, sharding=None) -> Scene:
+    """Stage the whole host-built scene arena to device in ONE transfer
+    batch (the TransferStager analog, reference `TransferStager.cpp:51-172`:
+    one staging allocation, one submission).  Pass a NamedSharding to
+    replicate across a mesh."""
+    target = sharding if sharding is not None else (
+        device or jax.devices()[0])
+    return jax.device_put(scene, target)
+
+
+def make_scene(geometry: Geometry, materials: Materials,
+               textures: TextureStack | None = None,
+               directional: DirectionalLight | None = None,
+               env: EnvMap | None = None) -> Scene:
+    """Assemble a Scene, deriving the emitter table from emissive materials."""
+    emitters = build_emitter_table(geometry, materials)
+    has_emitters = bool(np.asarray(emitters.valid).any())
+    return Scene(
+        geometry=geometry,
+        materials=materials,
+        textures=textures if textures is not None else TextureStack.empty(),
+        emitters=emitters,
+        directional=directional if directional is not None
+        else DirectionalLight.off(),
+        env=env,
+        has_emitters=has_emitters,
+    )
