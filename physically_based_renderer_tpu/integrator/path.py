@@ -65,8 +65,26 @@ def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(pa > 0.0, a2 / jnp.maximum(a2 + pb * pb, 1e-20), 0.0)
 
 
-def _tri_arrays(scene: Scene):
-    return scene.geometry.tri_vertices()
+def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
+    """Closest-hit dispatch: BVH traversal when the scene carries one,
+    else the fused brute-force sweep (faster for Cornell-class scenes)."""
+    if scene.bvh is not None:
+        from ..ops.traverse import intersect_bvh
+        return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min)
+    v0, v1, v2 = scene.geometry.tri_vertices()
+    return intersect_brute(o, d, v0, v1, v2, t_min=t_min,
+                           chunk=cfg.tri_chunk)
+
+
+def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
+    """Any-hit (shadow) dispatch."""
+    if scene.bvh is not None:
+        from ..ops.traverse import intersect_bvh
+        return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min,
+                             t_max=t_max, any_hit=True)
+    v0, v1, v2 = scene.geometry.tri_vertices()
+    return occluded_brute(o, d, v0, v1, v2, t_min=t_min, t_max=t_max,
+                          chunk=cfg.tri_chunk)
 
 
 def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
@@ -82,7 +100,6 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     """
     n = o.shape[0]
     ray_count = jnp.zeros((), jnp.float32)
-    v0, v1, v2 = _tri_arrays(scene)
     tri_pdf_a = lights_mod.dense_tri_pdf_area(scene)
     has_emitters = scene.has_emitters
     has_env = scene.env is not None
@@ -95,8 +112,8 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
     for bounce in range(cfg.max_bounces + 1):
         ray_count = ray_count + jnp.sum(active.astype(jnp.float32))
-        hit = intersect_brute(o, d, v0, v1, v2, t_min=0.0 if bounce == 0
-                              else cfg.ray_eps, chunk=cfg.tri_chunk)
+        hit = closest_hit(scene, o, d,
+                          t_min=0.0 if bounce == 0 else cfg.ray_eps, cfg=cfg)
         miss = hit.miss
 
         # --- escaped rays: environment ---------------------------------
@@ -156,18 +173,15 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                 ls = lights_mod.sample_area_emitters(
                     scene, sg(sp.pos), u[:, 0], u[:, 1:3])
                 L = L + _nee_contrib(scene, sp, wo, d, ls, throughput,
-                                     active, o_next_base, v0, v1, v2, cfg,
-                                     mis=cfg.mis)
+                                     active, o_next_base, cfg, mis=cfg.mis)
             if has_env:
                 es = lights_mod.sample_env(scene, n, u[:, 3:5])
                 L = L + _nee_contrib(scene, sp, wo, d, es, throughput,
-                                     active, o_next_base, v0, v1, v2, cfg,
-                                     mis=cfg.mis)
+                                     active, o_next_base, cfg, mis=cfg.mis)
             # Directional (delta) light: always NEE, never MIS.
             dl = lights_mod.sample_directional(scene, n)
             L = L + _nee_contrib(scene, sp, wo, d, dl, throughput, active,
-                                 o_next_base, v0, v1, v2, cfg, mis=False,
-                                 delta=True)
+                                 o_next_base, cfg, mis=False, delta=True)
 
         # --- BSDF sampling ----------------------------------------------
         ub = rng_mod.ray_uniform(keys, bounce, rng_mod.STREAM_BSDF, 3)
@@ -201,7 +215,7 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
 
 def _nee_contrib(scene, sp, wo, d, ls, throughput, active, o_shadow,
-                 v0, v1, v2, cfg, mis: bool, delta: bool = False):
+                 cfg, mis: bool, delta: bool = False):
     """Shadow-ray test + weighted NEE contribution for one light sample."""
     n = wo.shape[0]
     wi_w = sg(ls.wi)
@@ -211,9 +225,8 @@ def _nee_contrib(scene, sp, wo, d, ls, throughput, active, o_shadow,
     cand = active & ls.valid & (sg(cos_i) > 1e-7) & (sg(ls.pdf) > 0.0)
     # Avoid tracing shadow rays for hopeless samples but keep static shape.
     t_max = sg(ls.dist) * (1.0 - 1e-3)
-    occ = occluded_brute(sg(o_shadow), wi_w, v0, v1, v2,
-                         t_min=cfg.ray_eps, t_max=t_max,
-                         chunk=cfg.tri_chunk)
+    occ = occluded(scene, sg(o_shadow), wi_w, t_min=cfg.ray_eps,
+                   t_max=t_max, cfg=cfg)
     vis = cand & ~occ
     w = _power_mis(ls.pdf, pdf_b) if (mis and not delta) else jnp.ones(
         (n,), jnp.float32)

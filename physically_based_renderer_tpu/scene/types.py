@@ -187,9 +187,22 @@ class Scene:
     emitters: EmitterTable
     directional: DirectionalLight
     env: EnvMap | None
+    # Optional acceleration structure (accel/bvh.py); None => brute force.
+    # Presence is static (part of the pytree treedef), so integrators
+    # specialize at trace time.
+    bvh: object | None = None
     # Static (non-pytree) flag: lets integrators skip emitter code paths at
     # TRACE time for scenes with no emissive materials.
     has_emitters: bool = struct.field(pytree_node=False, default=False)
+
+
+def with_bvh(scene: "Scene", leaf_size: int | None = None) -> "Scene":
+    """Build a BVH over the scene geometry (host) and attach it."""
+    from ..accel.bvh import build_bvh, LEAF_SIZE
+    bvh = build_bvh(np.asarray(scene.geometry.positions),
+                    np.asarray(scene.geometry.indices),
+                    leaf_size=leaf_size or LEAF_SIZE)
+    return scene.replace(bvh=bvh)
 
 
 def build_env_tables(data) -> EnvMap:
