@@ -22,6 +22,23 @@ Layer map (mirrors SURVEY.md section 7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent compilation cache: this environment compiles TPU programs
+# through a remote helper (~1-5 min for large Pallas+XLA graphs); caching
+# compiled executables across processes makes reruns start in seconds.
+# Opt out with PBR_TPU_NO_CACHE=1.
+if not _os.environ.get("PBR_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 _os.path.expanduser("~/.pbr_tpu_jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without these options
+        pass
+
 from .core.camera import Camera  # noqa: F401
 from .core.film import Film  # noqa: F401
 from .integrator.path import RenderConfig, render, render_image  # noqa: F401

@@ -90,10 +90,14 @@ def apply_params(scene: Scene, p: TrainableParams) -> Scene:
 
 
 def pixel_loss(hdr: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Relative-L2 pixel loss (robust to HDR range, standard in inverse
-    rendering)."""
-    d = hdr - target
-    return jnp.mean(d * d / (jnp.square(jax.lax.stop_gradient(hdr)) + 1e-2))
+    """Log-space L2: stable under HDR dynamic range and Monte-Carlo noise.
+
+    (A detached relative-L2 was tried first and diverges here: its 1/hdr^2
+    weights amplify the 1-spp gradient noise on near-black pixels ~100x.)
+    """
+    d = jnp.log1p(jnp.maximum(hdr, 0.0)) - jnp.log1p(jnp.maximum(target,
+                                                                 0.0))
+    return jnp.mean(d * d)
 
 
 def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,

@@ -55,7 +55,10 @@ class RenderConfig:
     mis: bool = True              # MIS between NEE and BSDF sampling
     rr_start: int = 100           # bounce index where Russian roulette starts
     ray_eps: float = 1e-3         # shadow/secondary ray offset
-    tri_chunk: int = 2048         # intersection chunk size
+    tri_chunk: int = 2048         # brute-force intersection chunk size
+    tracer: str = "auto"          # auto|brute|bvh|stream|block|pallas
+    block_size: int = 256         # ray block for the block/pallas tracers
+    max_u: int = 48               # candidate clusters per block
 
 
 def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
@@ -65,10 +68,36 @@ def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(pa > 0.0, a2 / jnp.maximum(a2 + pb * pb, 1e-20), 0.0)
 
 
-def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
-    """Closest-hit dispatch: BVH traversal when the scene carries one,
-    else the fused brute-force sweep (faster for Cornell-class scenes)."""
+def _auto_tracer(scene: Scene) -> str:
+    """Pick the intersection backend at TRACE time (host decision)."""
+    if scene.clusters is not None:
+        return "pallas" if jax.default_backend() == "tpu" else "block"
     if scene.bvh is not None:
+        return "bvh"
+    return "brute"
+
+
+def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
+    """Closest-hit dispatch (cfg.tracer: auto|brute|bvh|stream|block|
+    pallas).  'auto' = Pallas block tracer on TPU when clusters are
+    attached, XLA block tracer elsewhere, brute force for small scenes."""
+    tracer = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
+    if tracer == "pallas":
+        from ..ops.blocktrace import intersect_blocks_pallas
+        return intersect_blocks_pallas(
+            scene.clusters, scene.geometry, o, d, t_min=t_min,
+            block=cfg.block_size, max_u=cfg.max_u,
+            interpret=jax.default_backend() != "tpu")
+    if tracer == "block":
+        from ..ops.blocktrace import intersect_blocks
+        return intersect_blocks(scene.clusters, scene.geometry, o, d,
+                                t_min=t_min, block=cfg.block_size,
+                                max_u=cfg.max_u)
+    if tracer == "stream":
+        from ..ops.stream import intersect_stream
+        return intersect_stream(scene.clusters, scene.geometry, o, d,
+                                t_min=t_min)
+    if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
         return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min)
     v0, v1, v2 = scene.geometry.tri_vertices()
@@ -78,7 +107,23 @@ def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
 
 def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
     """Any-hit (shadow) dispatch."""
-    if scene.bvh is not None:
+    tracer = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
+    if tracer == "pallas":
+        from ..ops.blocktrace import intersect_blocks_pallas
+        return intersect_blocks_pallas(
+            scene.clusters, scene.geometry, o, d, t_min=t_min, t_max=t_max,
+            any_hit=True, block=cfg.block_size, max_u=cfg.max_u,
+            interpret=jax.default_backend() != "tpu")
+    if tracer == "block":
+        from ..ops.blocktrace import intersect_blocks
+        return intersect_blocks(scene.clusters, scene.geometry, o, d,
+                                t_min=t_min, t_max=t_max, any_hit=True,
+                                block=cfg.block_size, max_u=cfg.max_u)
+    if tracer == "stream":
+        from ..ops.stream import intersect_stream
+        return intersect_stream(scene.clusters, scene.geometry, o, d,
+                                t_min=t_min, t_max=t_max, any_hit=True)
+    if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
         return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min,
                              t_max=t_max, any_hit=True)

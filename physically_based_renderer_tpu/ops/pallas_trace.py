@@ -1,0 +1,197 @@
+"""Pallas TPU kernel: block-stream closest-hit / any-hit tracer.
+
+The speed-of-light version of ops/blocktrace.py's phase B.  The XLA
+formulation materializes [NB, B, U*K, 3] Moller-Trumbore intermediates to
+HBM (~GBs of traffic per frame); this kernel keeps everything in VMEM:
+
+  grid = (NB,)  — one program per ray block
+  scalar-prefetch: per-block candidate cluster list  u_idx  i32[NB * U]
+  per program:
+    * ray block (o, d components + t_max) lives in VMEM           [B]
+    * static loop over U candidates, DOUBLE-BUFFERED async DMA of the
+      cluster's packed triangle soup  f32[9, K]  +  tri ids  i32[1, K]
+      from HBM (contiguous ~4.6 KB rows — the access pattern HBM likes)
+    * dense [B, K] Moller-Trumbore on the VPU, running (min t, argmin)
+      kept in VMEM scratch
+  outputs: best_t f32[NB, B], best_flat i32[NB, B] (u * K + k winner), or
+  an occlusion bitmask for any-hit.
+
+Candidate selection (interval slab + top_k) stays in XLA (ops/blocktrace),
+which also does the differentiable winner re-intersection.  Invalid
+candidate slots point at a sentinel cluster whose tri ids are -1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e30
+
+
+def _mt_kernel_body(u_ref, ox, oy, oz, dx, dy, dz, tmax,
+                    soup_hbm, tri_hbm,
+                    best_t_out, best_flat_out,
+                    soup_buf, tri_buf, soup_sem, tri_sem,
+                    *, n_u: int, k: int, t_min: float, any_hit: bool):
+    g = pl.program_id(0)
+    b = ox.shape[2]
+
+    # Rays: [1, 1, B] rows -> [B, 1] columns (sublane-major for [B, K]).
+    rox = ox[0, 0, :][:, None]
+    roy = oy[0, 0, :][:, None]
+    roz = oz[0, 0, :][:, None]
+    rdx = dx[0, 0, :][:, None]
+    rdy = dy[0, 0, :][:, None]
+    rdz = dz[0, 0, :][:, None]
+    rtm = tmax[0, 0, :][:, None]
+
+    def dma_soup(slot, u):
+        cl = u_ref[g * n_u + u]
+        return pltpu.make_async_copy(soup_hbm.at[cl], soup_buf.at[slot],
+                                     soup_sem.at[slot])
+
+    def dma_tri(slot, u):
+        cl = u_ref[g * n_u + u]
+        return pltpu.make_async_copy(tri_hbm.at[cl], tri_buf.at[slot],
+                                     tri_sem.at[slot])
+
+    dma_soup(0, 0).start()
+    dma_tri(0, 0).start()
+
+    def u_body(u, carry):
+        best_t, best_flat, occ = carry
+        slot = u % 2
+        nxt = (u + 1) % 2
+
+        @pl.when(u + 1 < n_u)
+        def _():
+            dma_soup(nxt, u + 1).start()
+            dma_tri(nxt, u + 1).start()
+
+        dma_soup(slot, u).wait()
+        dma_tri(slot, u).wait()
+
+        s = soup_buf[slot]          # [9, K]
+        v0x = s[0, :][None, :]
+        v0y = s[1, :][None, :]
+        v0z = s[2, :][None, :]
+        e1x = s[3, :][None, :]
+        e1y = s[4, :][None, :]
+        e1z = s[5, :][None, :]
+        e2x = s[6, :][None, :]
+        e2y = s[7, :][None, :]
+        e2z = s[8, :][None, :]
+        tri = tri_buf[slot]         # [1, K]
+
+        # Moller-Trumbore, [B, K] lanes.
+        px = rdy * e2z - rdz * e2y
+        py = rdz * e2x - rdx * e2z
+        pz = rdx * e2y - rdy * e2x
+        det = px * e1x + py * e1y + pz * e1z
+        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+        tx = rox - v0x
+        ty = roy - v0y
+        tz = roz - v0z
+        uu = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        vv = (rdx * qx + rdy * qy + rdz * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = ((jnp.abs(det) > 1e-9) & (uu >= 0.0) & (vv >= 0.0)
+              & (uu + vv <= 1.0) & (tt > t_min) & (tt < rtm)
+              & (tri >= 0))
+        if any_hit:
+            occ = jnp.maximum(
+                occ, jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True))
+            return best_t, best_flat, occ
+        tt = jnp.where(ok, tt, BIG)
+        tmin_row = jnp.min(tt, axis=1, keepdims=True)        # [B,1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+        kmin = jnp.min(jnp.where(tt <= tmin_row, lane, k), axis=1,
+                       keepdims=True)
+        better = tmin_row < best_t
+        best_t = jnp.where(better, tmin_row, best_t)
+        best_flat = jnp.where(better, u * k + kmin, best_flat)
+        return best_t, best_flat, occ
+
+    init = (jnp.full((b, 1), BIG, jnp.float32),
+            jnp.full((b, 1), -1, jnp.int32),
+            jnp.zeros((b, 1), jnp.int32))
+    best_t, best_flat, occ = jax.lax.fori_loop(0, n_u, u_body, init)
+
+    if any_hit:
+        best_t_out[0, 0, :] = occ[:, 0].astype(jnp.float32)
+        best_flat_out[0, 0, :] = occ[:, 0]
+    else:
+        best_t_out[0, 0, :] = best_t[:, 0]
+        best_flat_out[0, 0, :] = best_flat[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "any_hit",
+                                             "interpret"))
+def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
+                        t_min: float = 1e-4, any_hit: bool = False,
+                        interpret: bool = False):
+    """Run the kernel.
+
+    u_idx   i32[NB, U]     candidate cluster per block (sentinel = C)
+    o_comp  f32[3, NB, B]  ray origins, component-major
+    d_comp  f32[3, NB, B]  ray directions
+    t_max   f32[NB, B]
+    soup    f32[C+1, 9, K] packed v0/e1/e2 components per cluster
+    tri_ids i32[C+1, 1, K] original tri ids (-1 padding / sentinel)
+
+    Returns (best_t f32[NB, B], best_flat i32[NB, B]); for any_hit,
+    best_flat is the 0/1 occlusion mask.
+    """
+    nb, n_u = u_idx.shape
+    b = o_comp.shape[2]
+    k = soup.shape[2]
+
+    kernel = functools.partial(_mt_kernel_body, n_u=n_u, k=k,
+                               t_min=t_min, any_hit=any_hit)
+    ray_spec = pl.BlockSpec((1, 1, b), lambda g, *_: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            ray_spec, ray_spec, ray_spec,   # o components
+            ray_spec, ray_spec, ray_spec,   # d components
+            ray_spec,                        # t_max
+            pl.BlockSpec(memory_space=pltpu.ANY),   # soup (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tri ids (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, b), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, k), jnp.float32),
+            pltpu.VMEM((2, 1, k), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    r3 = lambda x: x.reshape(nb, 1, b)
+    best_t, best_flat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1, b), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )(u_idx.reshape(-1),
+      r3(o_comp[0]), r3(o_comp[1]), r3(o_comp[2]),
+      r3(d_comp[0]), r3(d_comp[1]), r3(d_comp[2]),
+      r3(t_max), soup, tri_ids)
+    return best_t.reshape(nb, b), best_flat.reshape(nb, b)

@@ -187,10 +187,12 @@ class Scene:
     emitters: EmitterTable
     directional: DirectionalLight
     env: EnvMap | None
-    # Optional acceleration structure (accel/bvh.py); None => brute force.
-    # Presence is static (part of the pytree treedef), so integrators
-    # specialize at trace time.
+    # Optional acceleration structures; None => brute force.  Presence is
+    # static (part of the pytree treedef), so integrators specialize at
+    # trace time.  `clusters` (accel/clusters.py, the TPU-native ray-stream
+    # path) wins over `bvh` (accel/bvh.py XLA stack walk) when both are set.
     bvh: object | None = None
+    clusters: object | None = None
     # Static (non-pytree) flag: lets integrators skip emitter code paths at
     # TRACE time for scenes with no emissive materials.
     has_emitters: bool = struct.field(pytree_node=False, default=False)
@@ -203,6 +205,15 @@ def with_bvh(scene: "Scene", leaf_size: int | None = None) -> "Scene":
                     np.asarray(scene.geometry.indices),
                     leaf_size=leaf_size or LEAF_SIZE)
     return scene.replace(bvh=bvh)
+
+
+def with_clusters(scene: "Scene", k: int | None = None) -> "Scene":
+    """Build the TPU-native cluster grid (ray-stream tracer) and attach."""
+    from ..accel.clusters import build_clusters, CLUSTER_K
+    grid = build_clusters(np.asarray(scene.geometry.positions),
+                          np.asarray(scene.geometry.indices),
+                          k=k or CLUSTER_K)
+    return scene.replace(clusters=grid)
 
 
 def build_env_tables(data) -> EnvMap:
