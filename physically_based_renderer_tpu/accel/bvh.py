@@ -114,11 +114,12 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray,
             out_order[out_pos:out_pos + count] = ids
             out_pos += count
             continue
-        # split at median of the largest centroid axis
+        # split at median of the largest centroid axis; stable full sort so
+        # the native (C++) builder can reproduce the order bit-exactly
         c = centroid[ids]
         axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
         m = count // 2
-        part = np.argpartition(c[:, axis], m)
+        part = np.argsort(c[:, axis], kind="stable")
         order[s:e] = ids[part]
         left = new_node()
         right = new_node()

@@ -209,7 +209,8 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         # --- NEE --------------------------------------------------------
         if cfg.nee:
             n_shadow = float((1 if has_emitters else 0)
-                             + (1 if has_env else 0) + 1)
+                             + (1 if has_env else 0)
+                             + (1 if scene.has_directional else 0))
             ray_count = ray_count + n_shadow * jnp.sum(
                 active.astype(jnp.float32))
             u = rng_mod.ray_uniform(keys, bounce, rng_mod.STREAM_LIGHT, 5)
@@ -224,9 +225,11 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                 L = L + _nee_contrib(scene, sp, wo, d, es, throughput,
                                      active, o_next_base, cfg, mis=cfg.mis)
             # Directional (delta) light: always NEE, never MIS.
-            dl = lights_mod.sample_directional(scene, n)
-            L = L + _nee_contrib(scene, sp, wo, d, dl, throughput, active,
-                                 o_next_base, cfg, mis=False, delta=True)
+            if scene.has_directional:
+                dl = lights_mod.sample_directional(scene, n)
+                L = L + _nee_contrib(scene, sp, wo, d, dl, throughput,
+                                     active, o_next_base, cfg, mis=False,
+                                     delta=True)
 
         # --- BSDF sampling ----------------------------------------------
         ub = rng_mod.ray_uniform(keys, bounce, rng_mod.STREAM_BSDF, 3)

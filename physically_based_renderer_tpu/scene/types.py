@@ -193,26 +193,30 @@ class Scene:
     # path) wins over `bvh` (accel/bvh.py XLA stack walk) when both are set.
     bvh: object | None = None
     clusters: object | None = None
-    # Static (non-pytree) flag: lets integrators skip emitter code paths at
-    # TRACE time for scenes with no emissive materials.
+    # Static (non-pytree) flags: let integrators skip whole light paths at
+    # TRACE time (each saves a full shadow-ray sweep per bounce).
     has_emitters: bool = struct.field(pytree_node=False, default=False)
+    has_directional: bool = struct.field(pytree_node=False, default=False)
 
 
 def with_bvh(scene: "Scene", leaf_size: int | None = None) -> "Scene":
-    """Build a BVH over the scene geometry (host) and attach it."""
-    from ..accel.bvh import build_bvh, LEAF_SIZE
-    bvh = build_bvh(np.asarray(scene.geometry.positions),
-                    np.asarray(scene.geometry.indices),
-                    leaf_size=leaf_size or LEAF_SIZE)
+    """Build a BVH over the scene geometry (host; C++ builder when built,
+    bit-identical numpy fallback otherwise) and attach it."""
+    from ..accel.bvh import LEAF_SIZE
+    from ..accel.native import build_bvh_fast
+    bvh = build_bvh_fast(np.asarray(scene.geometry.positions),
+                         np.asarray(scene.geometry.indices),
+                         leaf_size=leaf_size or LEAF_SIZE)
     return scene.replace(bvh=bvh)
 
 
 def with_clusters(scene: "Scene", k: int | None = None) -> "Scene":
     """Build the TPU-native cluster grid (ray-stream tracer) and attach."""
-    from ..accel.clusters import build_clusters, CLUSTER_K
-    grid = build_clusters(np.asarray(scene.geometry.positions),
-                          np.asarray(scene.geometry.indices),
-                          k=k or CLUSTER_K)
+    from ..accel.clusters import CLUSTER_K
+    from ..accel.native import build_clusters_fast
+    grid = build_clusters_fast(np.asarray(scene.geometry.positions),
+                               np.asarray(scene.geometry.indices),
+                               k=k or CLUSTER_K)
     return scene.replace(clusters=grid)
 
 
@@ -303,13 +307,15 @@ def make_scene(geometry: Geometry, materials: Materials,
     """Assemble a Scene, deriving the emitter table from emissive materials."""
     emitters = build_emitter_table(geometry, materials)
     has_emitters = bool(np.asarray(emitters.valid).any())
+    directional = (directional if directional is not None
+                   else DirectionalLight.off())
     return Scene(
         geometry=geometry,
         materials=materials,
         textures=textures if textures is not None else TextureStack.empty(),
         emitters=emitters,
-        directional=directional if directional is not None
-        else DirectionalLight.off(),
+        directional=directional,
         env=env,
         has_emitters=has_emitters,
+        has_directional=bool(np.asarray(directional.radiance).sum() > 0),
     )
