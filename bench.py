@@ -21,16 +21,15 @@ import time
 def main():
     import jax
 
-    from physically_based_renderer_tpu.core.camera import Camera
     from physically_based_renderer_tpu.integrator.path import (
-        RenderConfig, render_with_stats)
-    from physically_based_renderer_tpu.scene.procedural import make_cornell_box
+        render_with_stats)
     from physically_based_renderer_tpu.scene.types import upload_scene
+    from physically_based_renderer_tpu.utils import config as config_mod
 
-    cfg = RenderConfig(width=512, height=512, spp=4, max_bounces=4)
-    scene = upload_scene(make_cornell_box())
-    camera = Camera.make(position=(0.0, 1.0, 3.9), target=(0.0, 1.0, 0.0),
-                         fov_y=0.95)
+    bc = config_mod.get("cornell")
+    cfg = bc.render
+    scene, camera = config_mod.build_scene(bc.scene)
+    scene = upload_scene(scene)
 
     # Compile + warm up.
     film, count = render_with_stats(scene, camera, jax.random.key(0), cfg)

@@ -102,16 +102,15 @@ def build_scene(spec: SceneSpec):
     elif b == "helmet":
         scene = procedural.make_helmet_class_scene(**spec.extra)
     elif b == "gltf":
-        from . import config  # noqa: F401  (placeholder for path configs)
         from ..scene import gltf as gltf_mod
         scene, _, camera = gltf_mod.load(spec.extra["path"])
-        if scene.geometry.num_tris > 4096:
-            scene = with_clusters(scene)
-        return scene, camera
+        return with_clusters(scene), camera
     else:
         raise ValueError(f"unknown scene builder {b!r}")
-    if scene.geometry.num_tris > 4096:
-        scene = with_clusters(scene)
+    # Always attach the cluster grid: tiny scenes become a single padded
+    # cluster and the Pallas tracer degenerates to VMEM-resident brute
+    # force, which is exactly right for them.
+    scene = with_clusters(scene)
     camera = Camera.make(position=spec.camera_position,
                          target=spec.camera_target, fov_y=spec.fov_y)
     return scene, camera
