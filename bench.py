@@ -31,17 +31,20 @@ def main():
     scene, camera = config_mod.build_scene(bc.scene)
     scene = upload_scene(scene)
 
-    # Compile + warm up.
+    # Compile + warm up (including the mean-readback fence computation).
     film, count = render_with_stats(scene, camera, jax.random.key(0), cfg)
-    film.hdr.block_until_ready()
     rays_per_frame = float(count)
+    _ = float(film.hdr.mean())
 
+    # Timing forces a scalar readback per frame: block_until_ready is not a
+    # reliable completion barrier through remote-device transports, so each
+    # frame is fenced by materializing a reduction of its output on host.
     iters = 5
+    keys = [jax.random.key(i + 1) for i in range(iters)]
     t0 = time.perf_counter()
     for i in range(iters):
-        film, count = render_with_stats(scene, camera,
-                                        jax.random.key(i + 1), cfg)
-    film.hdr.block_until_ready()
+        film, count = render_with_stats(scene, camera, keys[i], cfg)
+        _ = float(film.hdr.mean())
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = rays_per_frame / dt

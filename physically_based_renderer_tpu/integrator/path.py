@@ -38,7 +38,7 @@ from ..models import lights as lights_mod
 from ..models.bsdf import eval_bsdf, sample_bsdf
 from ..ops.intersect import BIG, Hit, intersect_brute, occluded_brute
 from ..scene.types import Scene
-from .shading import shade_surface
+from .shading import pack_tri_attrs, shade_surface
 
 sg = jax.lax.stop_gradient
 
@@ -70,6 +70,10 @@ def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
 
 def _auto_tracer(scene: Scene) -> str:
     """Pick the intersection backend at TRACE time (host decision)."""
+    from ..ops.resident import RESIDENT_MAX_TRIS
+    if (jax.default_backend() == "tpu"
+            and scene.geometry.num_tris <= RESIDENT_MAX_TRIS):
+        return "resident"
     if scene.clusters is not None:
         return "pallas" if jax.default_backend() == "tpu" else "block"
     if scene.bvh is not None:
@@ -82,6 +86,10 @@ def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
     pallas).  'auto' = Pallas block tracer on TPU when clusters are
     attached, XLA block tracer elsewhere, brute force for small scenes."""
     tracer = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
+    if tracer == "resident":
+        from ..ops.resident import intersect_resident
+        return intersect_resident(scene.geometry, o, d, t_min=t_min,
+                                  interpret=jax.default_backend() != "tpu")
     if tracer == "pallas":
         from ..ops.blocktrace import intersect_blocks_pallas
         return intersect_blocks_pallas(
@@ -108,6 +116,11 @@ def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
 def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
     """Any-hit (shadow) dispatch."""
     tracer = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
+    if tracer == "resident":
+        from ..ops.resident import intersect_resident
+        return intersect_resident(scene.geometry, o, d, t_min=t_min,
+                                  t_max=t_max, any_hit=True,
+                                  interpret=jax.default_backend() != "tpu")
     if tracer == "pallas":
         from ..ops.blocktrace import intersect_blocks_pallas
         return intersect_blocks_pallas(
@@ -145,9 +158,13 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     """
     n = o.shape[0]
     ray_count = jnp.zeros((), jnp.float32)
-    tri_pdf_a = lights_mod.dense_tri_pdf_area(scene)
     has_emitters = scene.has_emitters
     has_env = scene.env is not None
+    # Wide attribute tables packed once per frame; each bounce then does a
+    # single fused row fetch (see integrator/shading.py, models/lights.py).
+    tri_attrs = pack_tri_attrs(scene)
+    emitter_attrs = (lights_mod.pack_emitter_attrs(scene) if has_emitters
+                     else None)
 
     L = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
@@ -175,7 +192,7 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                               throughput * env_l * w_env[:, None], 0.0)
         active = active & ~miss
 
-        sp = shade_surface(scene, hit, d)
+        sp = shade_surface(scene, hit, o, d, tri_attrs=tri_attrs)
 
         # --- emitter hit through BSDF sampling (or camera) --------------
         if has_emitters:
@@ -185,7 +202,7 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             # lanes into the backward pass (0-cotangent x NaN = NaN).
             t_clamped = jnp.minimum(hit.t, 1e6)
             dist2 = jnp.clip(t_clamped * t_clamped, 1e-12, 1e12)
-            pdf_nee_hit = (tri_pdf_a[jnp.maximum(hit.tri, 0)] * dist2
+            pdf_nee_hit = (sp.pdf_area * dist2
                            / jnp.maximum(cos_l, 1e-6))
             if cfg.mis and cfg.nee and bounce > 0:
                 w_em = jnp.where(prev_pdf > 0.0,
@@ -217,7 +234,8 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
             if has_emitters:
                 ls = lights_mod.sample_area_emitters(
-                    scene, sg(sp.pos), u[:, 0], u[:, 1:3])
+                    scene, sg(sp.pos), u[:, 0], u[:, 1:3],
+                    emitter_attrs=emitter_attrs)
                 L = L + _nee_contrib(scene, sp, wo, d, ls, throughput,
                                      active, o_next_base, cfg, mis=cfg.mis)
             if has_env:

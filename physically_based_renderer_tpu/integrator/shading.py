@@ -6,15 +6,27 @@ vertex attributes at the hit, run normal mapping through the TBN frame
 (bitangent = cross(N, T.xyz) * T.w, `geometry_pass/vertex.glsl:25-37`), and
 fetch material parameters through the texture stack.  Instead of writing
 position/normal/albedo render targets, the results feed the BSDF directly.
+
+Performance shape (the reason for the packed layout): naive per-attribute
+indexing costs ~17 independent row gathers per bounce.  Instead all
+per-triangle shading data (corner positions as v0/e1/e2, normals, tangents,
+uvs) is packed ONCE per frame into a single wide table f32[T, 36]
+(pack_tri_attrs — attached, so vertex gradients still flow) and each bounce
+does ONE wide-row gather.  The attached winner re-intersection (barycentrics
+u, v from Moller-Trumbore on the gathered v0/e1/e2) also lives here, so
+tracers are free to return fully detached hits (ops/resident.py,
+ops/blocktrace.py do the search detached).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
 from ..core import math3d
 from ..models.bsdf import BsdfParams
+from ..ops.gather import take_rows
 from ..ops.intersect import Hit
 from ..ops.texture import sample_bilinear
 from ..scene.types import Scene
@@ -32,39 +44,93 @@ class ShadingPoint:
     emissive: jnp.ndarray  # f32[N,3] emitted radiance (front side)
     front: jnp.ndarray     # bool[N] ray hit the geometric front face
     mat: jnp.ndarray       # i32[N] material id
+    pdf_area: jnp.ndarray  # f32[N] NEE area-pdf of this triangle (MIS)
 
 
-def shade_surface(scene: Scene, hit: Hit, ray_d: jnp.ndarray) -> ShadingPoint:
-    """Build shading points for hits (garbage-but-finite values for misses;
-    callers mask by hit.miss)."""
+def pack_tri_attrs(scene: Scene) -> jnp.ndarray:
+    """Pack per-triangle shading attributes into one wide table f32[T, 52].
+
+    Columns: 0:3 v0 | 3:6 e1 | 6:9 e2 (ATTACHED to geometry.positions) |
+    9:18 corner normals | 18:30 corner tangent4s | 30:36 corner uvs |
+    36:40 base_color_factor | 40 metallic | 41 roughness | 42:45 emissive |
+    45 specular | 46 normal_scale (ATTACHED to materials) | 47 material id |
+    48:52 texture ids (base_color, metallic_roughness, normal, emissive) |
+    52 NEE area-measure pdf of the triangle (models/lights.py, for MIS).
+    Built once per frame; every bounce then needs a single [N, 53] row
+    fetch (ops/gather.take_rows) instead of ~17 separate gathers.
+    """
+    from ..models.lights import dense_tri_pdf_area
     g = scene.geometry
+    m = scene.materials
+    i0, i1, i2 = g.indices[:, 0], g.indices[:, 1], g.indices[:, 2]
+    v0 = g.positions[i0]
+    tm = g.tri_material
+    f32 = lambda x: x.astype(jnp.float32)
+    return jnp.concatenate([
+        v0, g.positions[i1] - v0, g.positions[i2] - v0,
+        g.normals[i0], g.normals[i1], g.normals[i2],
+        g.tangents[i0], g.tangents[i1], g.tangents[i2],
+        g.uvs[i0], g.uvs[i1], g.uvs[i2],
+        m.base_color_factor[tm],
+        m.metallic_factor[tm][:, None],
+        m.roughness_factor[tm][:, None],
+        m.emissive_factor[tm],
+        m.specular_factor[tm][:, None],
+        m.normal_scale[tm][:, None],
+        f32(tm)[:, None],
+        f32(m.base_color_tex[tm])[:, None],
+        f32(m.metallic_roughness_tex[tm])[:, None],
+        f32(m.normal_tex[tm])[:, None],
+        f32(m.emissive_tex[tm])[:, None],
+        dense_tri_pdf_area(scene)[:, None],
+    ], axis=1)
+
+
+def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
+                  ray_d: jnp.ndarray,
+                  tri_attrs: jnp.ndarray | None = None) -> ShadingPoint:
+    """Build shading points for hits (garbage-but-finite values for misses;
+    callers mask by hit.miss).
+
+    `ray_o`/`ray_d` are the (attached) ray origins/directions; barycentrics
+    are re-derived here attached so tracer hits may be detached.  Pass a
+    prebuilt `tri_attrs` (pack_tri_attrs) to amortize packing over bounces.
+    """
     tri = jnp.maximum(hit.tri, 0)
-    idx = g.indices[tri]                                  # [N,3]
-    w = hit.w[:, None]
-    u = hit.u[:, None]
-    v = hit.v[:, None]
+    if tri_attrs is None:
+        tri_attrs = pack_tri_attrs(scene)
+    rows = take_rows(tri_attrs, tri)                   # [N,52] ONE row fetch
 
-    def lerp(attr):
-        return (w * attr[idx[:, 0]] + u * attr[idx[:, 1]]
-                + v * attr[idx[:, 2]])
+    v0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
 
-    pos = lerp(g.positions)
-    ns_raw = math3d.normalize(lerp(g.normals))
-    t4 = lerp(g.tangents)
-    uv = lerp(g.uvs)
+    # Attached re-intersection of the winning triangle (detached-search /
+    # attached-finish): gradients flow to vertex positions and the chain of
+    # previous bounce origins through u, v.
+    pv = jnp.cross(ray_d, e2)
+    det = jnp.sum(pv * e1, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tv = ray_o - v0
+    u = (jnp.sum(tv * pv, axis=-1) * inv_det)[:, None]
+    q = jnp.cross(tv, e1)
+    v = (jnp.sum(ray_d * q, axis=-1) * inv_det)[:, None]
+    w = 1.0 - u - v
+
+    pos = v0 + u * e1 + v * e2
+    ns_raw = math3d.normalize(
+        w * rows[:, 9:12] + u * rows[:, 12:15] + v * rows[:, 15:18])
+    t4 = w * rows[:, 18:22] + u * rows[:, 22:26] + v * rows[:, 26:30]
+    uv = w * rows[:, 30:32] + u * rows[:, 32:34] + v * rows[:, 34:36]
 
     # Geometric normal from the winding (CCW front face).
-    v0 = g.positions[idx[:, 0]]
-    v1 = g.positions[idx[:, 1]]
-    v2 = g.positions[idx[:, 2]]
-    ng = math3d.normalize(jnp.cross(v1 - v0, v2 - v0))
+    ng = math3d.normalize(jnp.cross(e1, e2))
     front = jnp.sum(ng * ray_d, axis=-1) < 0.0
     sign = jnp.where(front, 1.0, -1.0)[:, None]
     ng_o = ng * sign          # oriented toward the incoming ray
     ns = ns_raw * sign
 
-    mat = g.tri_material[tri]
-    mats = scene.materials
+    mat = rows[:, 47].astype(jnp.int32)
 
     # TBN frame: tangent orthogonalized against the shading normal,
     # bitangent = cross(N, T) * T.w  (geometry_pass/vertex.glsl:30-32).
@@ -72,22 +138,26 @@ def shade_surface(scene: Scene, hit: Hit, ray_d: jnp.ndarray) -> ShadingPoint:
     t = math3d.normalize(t)
     b = jnp.cross(ns, t) * t4[:, 3:4]
 
-    # Normal mapping (geometry_pass/fragment.glsl:23-27: n = tex*2-1, TBN*n),
-    # with glTF normal_scale applied to the tangential components.
-    ntex = mats.normal_tex[mat]
-    has_nm = (ntex >= 0)[:, None]
-    nm = sample_bilinear(scene.textures, ntex, uv, default=0.5)[:, :3] * 2.0 - 1.0
-    scale = mats.normal_scale[mat][:, None]
-    nm = jnp.concatenate([nm[:, :2] * scale, nm[:, 2:3]], axis=-1)
-    # Sanitize BEFORE normalize: lanes without a normal map carry the zero
-    # vector whose normalize-gradient is NaN (where-trap).
-    nm = jnp.where(has_nm, nm, jnp.array([0.0, 0.0, 1.0], jnp.float32))
-    nm = math3d.normalize(nm)
-    ns_mapped = math3d.normalize(
-        nm[:, 0:1] * t + nm[:, 1:2] * b + nm[:, 2:3] * ns)
-    ns = jnp.where(has_nm, ns_mapped, ns)
+    if scene.has_textures:
+        # Normal mapping (geometry_pass/fragment.glsl:23-27: n = tex*2-1,
+        # TBN*n), with glTF normal_scale on the tangential components.
+        ntex = rows[:, 50].astype(jnp.int32)
+        has_nm = (ntex >= 0)[:, None]
+        nm = sample_bilinear(scene.textures, ntex, uv,
+                             default=0.5)[:, :3] * 2.0 - 1.0
+        scale = rows[:, 46:47]
+        nm = jnp.concatenate([nm[:, :2] * scale, nm[:, 2:3]], axis=-1)
+        # Sanitize BEFORE normalize: lanes without a normal map carry the
+        # zero vector whose normalize-gradient is NaN (where-trap).
+        nm = jnp.where(has_nm, nm, jnp.array([0.0, 0.0, 1.0], jnp.float32))
+        nm = math3d.normalize(nm)
+        ns_mapped = math3d.normalize(
+            nm[:, 0:1] * t + nm[:, 1:2] * b + nm[:, 2:3] * ns)
+        ns = jnp.where(has_nm, ns_mapped, ns)
+
     # Keep the shading normal in the same hemisphere as the oriented
-    # geometric normal (avoids light leaks from aggressive normal maps).
+    # geometric normal (avoids light leaks from aggressive normal maps and
+    # repairs meshes whose winding disagrees with their vertex normals).
     flip = jnp.sum(ns * ng_o, axis=-1, keepdims=True) < 0.0
     ns = math3d.normalize(jnp.where(flip, ns - 2.0 * jnp.sum(
         ns * ng_o, axis=-1, keepdims=True) * ng_o, ns))
@@ -97,21 +167,33 @@ def shade_surface(scene: Scene, hit: Hit, ray_d: jnp.ndarray) -> ShadingPoint:
     t = math3d.normalize(t)
     b = jnp.cross(ns, t) * t4[:, 3:4]
 
-    # Material parameter fetches (albedo = factor x texture, the reference's
-    # `mat.color * texture(colorSampler, uv)` at geometry_pass/fragment.glsl:30,
-    # extended with metallic-roughness per glTF: B=metallic, G=roughness).
-    bc = sample_bilinear(scene.textures, mats.base_color_tex[mat], uv)
-    base_color = mats.base_color_factor[mat] * bc
-    mr = sample_bilinear(scene.textures, mats.metallic_roughness_tex[mat], uv)
-    metallic = mats.metallic_factor[mat] * mr[:, 2]
-    roughness = mats.roughness_factor[mat] * mr[:, 1]
-    em_tex = sample_bilinear(scene.textures, mats.emissive_tex[mat], uv)
-    emissive = mats.emissive_factor[mat] * em_tex[:, :3]
+    if scene.has_textures:
+        # Material parameter fetches (albedo = factor x texture, the
+        # reference's `mat.color * texture(colorSampler, uv)` at
+        # geometry_pass/fragment.glsl:30, extended with metallic-roughness
+        # per glTF: B=metallic, G=roughness).
+        bc = sample_bilinear(scene.textures, rows[:, 48].astype(jnp.int32),
+                             uv)
+        base_color = rows[:, 36:40] * bc
+        mr = sample_bilinear(scene.textures, rows[:, 49].astype(jnp.int32),
+                             uv)
+        metallic = rows[:, 40] * mr[:, 2]
+        roughness = rows[:, 41] * mr[:, 1]
+        em_tex = sample_bilinear(scene.textures,
+                                 rows[:, 51].astype(jnp.int32), uv)
+        emissive = rows[:, 42:45] * em_tex[:, :3]
+    else:
+        # Static texture-free fast path: factors only, zero texture gathers.
+        base_color = rows[:, 36:40]
+        metallic = rows[:, 40]
+        roughness = rows[:, 41]
+        emissive = rows[:, 42:45]
+
     # One-sided emission: only the geometric front face emits.
     emissive = jnp.where(front[:, None], emissive, 0.0)
 
     params = BsdfParams(base_color=base_color[:, :3], metallic=metallic,
-                        roughness=roughness,
-                        specular=mats.specular_factor[mat])
+                        roughness=roughness, specular=rows[:, 45])
     return ShadingPoint(pos=pos, ng=ng_o, ns=ns, tang=t, bitang=b, uv=uv,
-                        bsdf=params, emissive=emissive, front=front, mat=mat)
+                        bsdf=params, emissive=emissive, front=front, mat=mat,
+                        pdf_area=rows[:, 52])

@@ -85,7 +85,8 @@ def render_wavefront(scene: Scene, camera: Camera, key: jax.Array,
 
     has_emitters = scene.has_emitters
     has_env = scene.env is not None
-    tri_pdf_a = lights_mod.dense_tri_pdf_area(scene)
+    emitter_attrs = (lights_mod.pack_emitter_attrs(scene)
+                     if has_emitters else None)
 
     def one_sample(skey):
         pix = jnp.arange(n)
@@ -137,13 +138,13 @@ def render_wavefront(scene: Scene, camera: Camera, key: jax.Array,
                     throughput * env_l * w_env[:, None], 0.0)
             alive = alive & ~miss
 
-            sp = shade_surface(scene, hit, d_b)
+            sp = shade_surface(scene, hit, o_b, d_b)
 
             if has_emitters:
                 cos_l = jnp.sum(sp.ng * (-d_b), axis=-1)
                 t_c = jnp.minimum(hit.t, 1e6)
                 dist2 = jnp.clip(t_c * t_c, 1e-12, 1e12)
-                pdf_nee_hit = (tri_pdf_a[jnp.maximum(hit.tri, 0)] * dist2
+                pdf_nee_hit = (sp.pdf_area * dist2
                                / jnp.maximum(cos_l, 1e-6))
                 if cfg.mis and cfg.nee and bounce > 0:
                     w_em = jnp.where(state["prev_pdf"] > 0.0,
@@ -166,7 +167,8 @@ def render_wavefront(scene: Scene, camera: Camera, key: jax.Array,
                                             rng_mod.STREAM_LIGHT, 5)
                     if has_emitters:
                         ls = lights_mod.sample_area_emitters(
-                            scene, sg(sp.pos), u[:, 0], u[:, 1:3])
+                            scene, sg(sp.pos), u[:, 0], u[:, 1:3],
+                            emitter_attrs=emitter_attrs)
                         contrib = contrib + _nee(scene, sp, wo, ls,
                                                  throughput, alive, o_base,
                                                  cfg, mis=cfg.mis)

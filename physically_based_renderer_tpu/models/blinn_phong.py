@@ -49,7 +49,7 @@ def render_blinn_phong(scene: Scene, camera: Camera, width: int,
     o, d = generate_rays_flat(camera, width, height)
     v0, v1, v2 = scene.geometry.tri_vertices()
     hit = intersect_brute(o, d, v0, v1, v2, t_min=0.0)
-    sp = shade_surface(scene, hit, d)
+    sp = shade_surface(scene, hit, o, d)
     v = math3d.normalize(jnp.broadcast_to(camera.position, sp.pos.shape)
                          - sp.pos)
     albedo = sp.bsdf.base_color

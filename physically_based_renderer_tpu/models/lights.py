@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..ops.gather import take_rows
 from ..ops.texture import sample_env_bilinear
 from ..scene.types import Scene
 
@@ -46,8 +47,31 @@ def dense_tri_pdf_area(scene: Scene) -> jnp.ndarray:
     return dense.at[scene.emitters.tri_idx].add(p)
 
 
+def pack_emitter_attrs(scene: Scene) -> jnp.ndarray:
+    """Per-emitter sampling table f32[E, 13]: v0 | e1 | e2 | pdf/area |
+    emissive radiance (ATTACHED to materials.emissive_factor).
+
+    Built once per frame so each NEE bounce needs a single [N, 13] row
+    fetch instead of ~9 separate gathers.
+    """
+    em = scene.emitters
+    g = scene.geometry
+    idx = g.indices[em.tri_idx]                      # [E, 3]
+    v0 = g.positions[idx[:, 0]]
+    v1 = g.positions[idx[:, 1]]
+    v2 = g.positions[idx[:, 2]]
+    pdf_a = jnp.where(em.valid,
+                      em.pdf_tri / jnp.maximum(em.area, 1e-12), 0.0)
+    radiance = scene.materials.emissive_factor[g.tri_material[em.tri_idx]]
+    return jnp.concatenate([
+        v0, v1 - v0, v2 - v0, pdf_a[:, None], radiance,
+    ], axis=1)
+
+
 def sample_area_emitters(scene: Scene, p: jnp.ndarray, u1: jnp.ndarray,
-                         u2: jnp.ndarray) -> LightSample:
+                         u2: jnp.ndarray,
+                         emitter_attrs: jnp.ndarray | None = None
+                         ) -> LightSample:
     """Sample a point on the emissive triangles from shading points p[N,3].
 
     u1[N] picks the emitter (CDF inversion), u2[N,2] the point (uniform
@@ -56,22 +80,25 @@ def sample_area_emitters(scene: Scene, p: jnp.ndarray, u1: jnp.ndarray,
     """
     em = scene.emitters
     n = p.shape[0]
-    e_idx = jnp.searchsorted(em.cdf, u1, side="left")
+    if emitter_attrs is None:
+        emitter_attrs = pack_emitter_attrs(scene)
+    # CDF inversion by dense compare (E is small): smallest i, cdf[i] >= u.
+    e_idx = jnp.sum((em.cdf[None, :] < u1[:, None]).astype(jnp.int32),
+                    axis=-1)
     e_idx = jnp.clip(e_idx, 0, em.num_emitters - 1)
-    tri = em.tri_idx[e_idx]                     # [N]
-    pdf_tri = em.pdf_tri[e_idx]
-    area = jnp.maximum(em.area[e_idx], 1e-12)
+    rows = take_rows(emitter_attrs, e_idx)           # [N, 12] ONE fetch
+    v0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    pdf_a = rows[:, 9]                               # pdf_tri / area
+    radiance = rows[:, 10:13]
 
-    idx = scene.geometry.indices[tri]           # [N,3]
-    v0 = scene.geometry.positions[idx[:, 0]]
-    v1 = scene.geometry.positions[idx[:, 1]]
-    v2 = scene.geometry.positions[idx[:, 2]]
     # Uniform triangle sampling (sqrt trick)
     su = jnp.sqrt(jnp.clip(u2[:, 0], 0.0, 1.0))
     b1 = 1.0 - su
     b2 = u2[:, 1] * su
-    lp = v0 + b1[:, None] * (v1 - v0) + b2[:, None] * (v2 - v0)
-    ng = jnp.cross(v1 - v0, v2 - v0)
+    lp = v0 + b1[:, None] * e1 + b2[:, None] * e2
+    ng = jnp.cross(e1, e2)
     ng2 = jnp.maximum(jnp.sum(ng * ng, axis=-1, keepdims=True), 1e-20)
     ng = ng * jax.lax.rsqrt(ng2)
 
@@ -81,10 +108,8 @@ def sample_area_emitters(scene: Scene, p: jnp.ndarray, u1: jnp.ndarray,
     wi = to_l / dist[:, None]
     cos_l = jnp.sum(ng * (-wi), axis=-1)        # light-side cosine
 
-    mat = scene.geometry.tri_material[tri]
-    radiance = scene.materials.emissive_factor[mat]
-    pdf_sa = pdf_tri / area * dist2 / jnp.maximum(cos_l, 1e-6)
-    valid = (cos_l > 1e-6) & (pdf_tri > 0.0)
+    pdf_sa = pdf_a * dist2 / jnp.maximum(cos_l, 1e-6)
+    valid = (cos_l > 1e-6) & (pdf_a > 0.0)
     zero = jnp.zeros((n,), jnp.float32)
     return LightSample(
         wi=wi, dist=dist,

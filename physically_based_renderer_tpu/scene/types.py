@@ -197,6 +197,9 @@ class Scene:
     # TRACE time (each saves a full shadow-ray sweep per bounce).
     has_emitters: bool = struct.field(pytree_node=False, default=False)
     has_directional: bool = struct.field(pytree_node=False, default=False)
+    # True iff any material references a texture; False lets shading skip
+    # every texture fetch statically (big win for untextured scenes).
+    has_textures: bool = struct.field(pytree_node=False, default=False)
 
 
 def with_bvh(scene: "Scene", leaf_size: int | None = None) -> "Scene":
@@ -318,4 +321,9 @@ def make_scene(geometry: Geometry, materials: Materials,
         env=env,
         has_emitters=has_emitters,
         has_directional=bool(np.asarray(directional.radiance).sum() > 0),
+        has_textures=bool(
+            (np.asarray(materials.base_color_tex) >= 0).any()
+            or (np.asarray(materials.metallic_roughness_tex) >= 0).any()
+            or (np.asarray(materials.normal_tex) >= 0).any()
+            or (np.asarray(materials.emissive_tex) >= 0).any()),
     )
