@@ -19,7 +19,10 @@ import time
 
 
 def main():
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     from physically_based_renderer_tpu.integrator.path import (
         render_with_stats)
@@ -31,20 +34,31 @@ def main():
     scene, camera = config_mod.build_scene(bc.scene)
     scene = upload_scene(scene)
 
-    # Compile + warm up (including the mean-readback fence computation).
-    film, count = render_with_stats(scene, camera, jax.random.key(0), cfg)
-    rays_per_frame = float(count)
-    _ = float(film.hdr.mean())
-
-    # Timing forces a scalar readback per frame: block_until_ready is not a
-    # reliable completion barrier through remote-device transports, so each
-    # frame is fenced by materializing a reduction of its output on host.
+    # Sustained throughput: render `iters` full frames back-to-back in ONE
+    # jitted program (lax.scan over per-frame keys) so host dispatch and
+    # remote-tunnel latency are not billed to the renderer; the final
+    # scalar readback fences completion (block_until_ready is not a
+    # reliable barrier through remote-device transports).
     iters = 5
-    keys = [jax.random.key(i + 1) for i in range(iters)]
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def render_many(scene, camera, keys, cfg):
+        def body(acc, key):
+            film, count = render_with_stats(scene, camera, key, cfg)
+            return (acc[0] + film.hdr.mean(), acc[1] + count), None
+
+        acc, _ = jax.lax.scan(
+            body, (jnp.zeros(()), jnp.zeros(())), keys)
+        return acc
+
+    keys = jax.random.split(jax.random.key(1), iters)
+    checksum, count = render_many(scene, camera, keys, cfg)  # compile+warm
+    rays_per_frame = float(count) / iters
+    _ = float(checksum)
+
     t0 = time.perf_counter()
-    for i in range(iters):
-        film, count = render_with_stats(scene, camera, keys[i], cfg)
-        _ = float(film.hdr.mean())
+    checksum, count = render_many(scene, camera, keys, cfg)
+    _ = float(checksum)
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = rays_per_frame / dt

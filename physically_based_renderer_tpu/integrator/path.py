@@ -346,10 +346,42 @@ def render_image(scene: Scene, camera: Camera, seed: int,
     return render(scene, camera, jax.random.key(seed), cfg).mean()
 
 
+def _use_fused(scene: Scene, cfg: RenderConfig) -> bool:
+    """Static dispatch: whole-frame megakernel (ops/fused.py) on TPU for
+    SMEM-resident scenes.  Primal-only paths (render_with_stats,
+    render_fast); gradient paths keep the dense integrator."""
+    from ..ops.fused import fused_applicable
+    return (cfg.tracer in ("auto", "fused")
+            and jax.default_backend() == "tpu"
+            and fused_applicable(scene, cfg))
+
+
+def render_fast(scene: Scene, camera: Camera, key: jax.Array,
+                cfg: RenderConfig) -> Film:
+    """Fastest primal render: fused megakernel when applicable, else the
+    dense integrator.  NOT differentiable — use render() for gradients."""
+    film, _ = render_with_stats(scene, camera, key, cfg)
+    return film
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_with_stats(scene: Scene, camera: Camera, key: jax.Array,
                       cfg: RenderConfig):
-    """Render + exact ray-query count (for rays/s benchmarks)."""
+    """Render + exact ray-query count (for rays/s benchmarks).
+
+    Dispatches to the fused whole-frame megakernel (ops/fused.py) when the
+    scene is SMEM-resident on TPU; identical estimator, different (hardware)
+    RNG stream, so images agree statistically rather than bitwise."""
+    if _use_fused(scene, cfg):
+        from ..ops.fused import render_fused_stats
+        hdr, count = render_fused_stats(scene, camera, key, cfg)
+        return Film(hdr=hdr, spp=jnp.asarray(cfg.spp, jnp.float32)), count
+    return _render_with_stats_dense(scene, camera, key, cfg)
+
+
+def _render_with_stats_dense(scene: Scene, camera: Camera, key: jax.Array,
+                             cfg: RenderConfig):
+    """Dense (scan-over-spp) render + ray-query count."""
     film = Film.zeros(cfg.height, cfg.width)
     keys = jax.random.split(key, cfg.spp)
 

@@ -200,6 +200,10 @@ class Scene:
     # True iff any material references a texture; False lets shading skip
     # every texture fetch statically (big win for untextured scenes).
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    # True iff every vertex normal equals its triangle's face normal
+    # (checked at build).  Lets the fused megakernel (ops/fused.py) skip
+    # barycentric normal interpolation statically.
+    flat_normals: bool = struct.field(pytree_node=False, default=False)
 
 
 def with_bvh(scene: "Scene", leaf_size: int | None = None) -> "Scene":
@@ -312,6 +316,14 @@ def make_scene(geometry: Geometry, materials: Materials,
     has_emitters = bool(np.asarray(emitters.valid).any())
     directional = (directional if directional is not None
                    else DirectionalLight.off())
+    pos = np.asarray(geometry.positions)
+    idx = np.asarray(geometry.indices)
+    fn = np.cross(pos[idx[:, 1]] - pos[idx[:, 0]],
+                  pos[idx[:, 2]] - pos[idx[:, 0]])
+    fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+    nrm = np.asarray(geometry.normals)
+    flat = bool(all(np.allclose(fn, nrm[idx[:, k]], atol=1e-5)
+                    for k in range(3)))
     return Scene(
         geometry=geometry,
         materials=materials,
@@ -326,4 +338,5 @@ def make_scene(geometry: Geometry, materials: Materials,
             or (np.asarray(materials.metallic_roughness_tex) >= 0).any()
             or (np.asarray(materials.normal_tex) >= 0).any()
             or (np.asarray(materials.emissive_tex) >= 0).any()),
+        flat_normals=flat,
     )
