@@ -243,7 +243,9 @@ def block_union_counts(grid: ClusterGrid, o, d, block: int = 512,
 
 def _select_candidates(grid, o_s, d_s, tm, nb, b, t_min, max_u):
     """Shared phase A: per-block interval culling + nearest-first top-U.
-    Invalid slots get the sentinel cluster index C."""
+    Invalid slots get the sentinel cluster index C.  Also returns the
+    per-block valid-candidate count and each candidate's conservative
+    entry-t (both drive the kernel's early exit)."""
     n_pad = nb * b
     ob = o_s.reshape(nb, b, 3)
     db = d_s.reshape(nb, b, 3)
@@ -259,8 +261,11 @@ def _select_candidates(grid, o_s, d_s, tm, nb, b, t_min, max_u):
     score = jnp.where(overlap, -entry, -jnp.inf)
     _, u_idx = jax.lax.top_k(score, min(max_u, grid.num_clusters))
     u_valid = jnp.take_along_axis(overlap, u_idx, axis=1)
+    u_entry = jnp.where(u_valid,
+                        jnp.take_along_axis(entry, u_idx, axis=1), BIG)
+    n_valid = jnp.sum(u_valid, axis=1).astype(jnp.int32)
     u_idx = jnp.where(u_valid, u_idx, grid.num_clusters)  # sentinel
-    return u_idx, ob, db, tmb
+    return u_idx, u_entry, n_valid, ob, db, tmb
 
 
 def pack_soup(grid: ClusterGrid, geometry):
@@ -299,15 +304,16 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
                           jnp.zeros((pad,), jnp.float32)])
     nb = n_pad // b
 
-    u_idx, ob, db, tmb = _select_candidates(grid, o_s, d_s, tm, nb, b,
-                                            t_min, max_u)
+    u_idx, u_entry, n_valid, ob, db, tmb = _select_candidates(
+        grid, o_s, d_s, tm, nb, b, t_min, max_u)
     soup, tri_packed = pack_soup(grid, geometry)
     o_comp = jnp.moveaxis(ob, -1, 0)    # [3, NB, B]
     d_comp = jnp.moveaxis(db, -1, 0)
 
     best_t, best_flat = trace_blocks_pallas(
         u_idx, o_comp, d_comp, tmb, soup, tri_packed,
-        t_min=t_min, any_hit=any_hit, interpret=interpret)
+        t_min=t_min, any_hit=any_hit, interpret=interpret,
+        n_valid=n_valid, entry=u_entry)
 
     if any_hit:
         return (best_flat > 0).reshape(n_pad)[:n]

@@ -5,14 +5,20 @@ formulation materializes [NB, B, U*K, 3] Moller-Trumbore intermediates to
 HBM (~GBs of traffic per frame); this kernel keeps everything in VMEM:
 
   grid = (NB,)  — one program per ray block
-  scalar-prefetch: per-block candidate cluster list  u_idx  i32[NB * U]
+  scalar-prefetch: per-block candidate cluster list  u_idx  i32[NB * U],
+  per-block valid-candidate count nv i32[NB], and the conservative
+  nearest-entry distance of each candidate  entry  f32[NB * U]
   per program:
     * ray block (o, d components + t_max) lives in VMEM           [B]
-    * static loop over U candidates, DOUBLE-BUFFERED async DMA of the
-      cluster's packed triangle soup  f32[9, K]  +  tri ids  i32[1, K]
-      from HBM (contiguous ~4.6 KB rows — the access pattern HBM likes)
+    * WHILE loop over candidates (nearest-first), DOUBLE-BUFFERED async
+      DMA of the cluster's packed triangle soup  f32[9, K] + tri ids
+      i32[1, K] from HBM (contiguous ~4.6 KB rows)
     * dense [B, K] Moller-Trumbore on the VPU, running (min t, argmin)
-      kept in VMEM scratch
+    * EARLY EXIT: stops at the block's true candidate demand (nv), and —
+      for closest-hit — as soon as every live lane's best hit is nearer
+      than the next candidate's conservative entry (candidates are sorted
+      by entry, so no later cluster can improve); for any-hit, as soon as
+      every live lane is occluded.
   outputs: best_t f32[NB, B], best_flat i32[NB, B] (u * K + k winner), or
   an occlusion bitmask for any-hit.
 
@@ -33,13 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e30
 
 
-def _mt_kernel_body(u_ref, ox, oy, oz, dx, dy, dz, tmax,
+def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
                     soup_hbm, tri_hbm,
                     best_t_out, best_flat_out,
                     soup_buf, tri_buf, soup_sem, tri_sem,
                     *, n_u: int, k: int, t_min: float, any_hit: bool):
     g = pl.program_id(0)
     b = ox.shape[2]
+    nv = nv_ref[g]
 
     # Rays: [1, 1, B] rows -> [B, 1] columns (sublane-major for [B, K]).
     rox = ox[0, 0, :][:, None]
@@ -49,6 +56,7 @@ def _mt_kernel_body(u_ref, ox, oy, oz, dx, dy, dz, tmax,
     rdy = dy[0, 0, :][:, None]
     rdz = dz[0, 0, :][:, None]
     rtm = tmax[0, 0, :][:, None]
+    live = rtm > 0.0          # padded lanes carry t_max = 0
 
     def dma_soup(slot, u):
         cl = u_ref[g * n_u + u]
@@ -60,15 +68,21 @@ def _mt_kernel_body(u_ref, ox, oy, oz, dx, dy, dz, tmax,
         return pltpu.make_async_copy(tri_hbm.at[cl], tri_buf.at[slot],
                                      tri_sem.at[slot])
 
-    dma_soup(0, 0).start()
-    dma_tri(0, 0).start()
+    @pl.when(nv > 0)
+    def _():
+        dma_soup(0, 0).start()
+        dma_tri(0, 0).start()
 
-    def u_body(u, carry):
-        best_t, best_flat, occ = carry
+    def cond(carry):
+        u, _best_t, _best_flat, _occ, done = carry
+        return (u < nv) & (done == 0)
+
+    def u_body(carry):
+        u, best_t, best_flat, occ, done = carry
         slot = u % 2
         nxt = (u + 1) % 2
 
-        @pl.when(u + 1 < n_u)
+        @pl.when(u + 1 < nv)
         def _():
             dma_soup(nxt, u + 1).start()
             dma_tri(nxt, u + 1).start()
@@ -109,7 +123,9 @@ def _mt_kernel_body(u_ref, ox, oy, oz, dx, dy, dz, tmax,
         if any_hit:
             occ = jnp.maximum(
                 occ, jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True))
-            return best_t, best_flat, occ
+            # exit once every live lane is occluded
+            rem = jnp.max(jnp.where(live & (occ == 0), 1, 0))
+            return u + 1, best_t, best_flat, occ, 1 - rem
         tt = jnp.where(ok, tt, BIG)
         tmin_row = jnp.min(tt, axis=1, keepdims=True)        # [B,1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
@@ -118,12 +134,20 @@ def _mt_kernel_body(u_ref, ox, oy, oz, dx, dy, dz, tmax,
         better = tmin_row < best_t
         best_t = jnp.where(better, tmin_row, best_t)
         best_flat = jnp.where(better, u * k + kmin, best_flat)
-        return best_t, best_flat, occ
+        # exit once no later candidate (sorted by conservative entry) can
+        # beat any live lane's current best hit
+        worst = jnp.max(jnp.where(live, best_t, 0.0))
+        nxt_entry = jnp.where(u + 1 < nv, entry_ref[g * n_u + jnp.minimum(
+            u + 1, n_u - 1)], BIG)
+        done = (worst <= nxt_entry).astype(jnp.int32)
+        return u + 1, best_t, best_flat, occ, done
 
-    init = (jnp.full((b, 1), BIG, jnp.float32),
+    init = (0,
+            jnp.full((b, 1), BIG, jnp.float32),
             jnp.full((b, 1), -1, jnp.int32),
-            jnp.zeros((b, 1), jnp.int32))
-    best_t, best_flat, occ = jax.lax.fori_loop(0, n_u, u_body, init)
+            jnp.zeros((b, 1), jnp.int32),
+            0)
+    _, best_t, best_flat, occ, _ = jax.lax.while_loop(cond, u_body, init)
 
     if any_hit:
         best_t_out[0, 0, :] = occ[:, 0].astype(jnp.float32)
@@ -137,7 +161,7 @@ def _mt_kernel_body(u_ref, ox, oy, oz, dx, dy, dz, tmax,
                                              "interpret"))
 def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
                         t_min: float = 1e-4, any_hit: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False, n_valid=None, entry=None):
     """Run the kernel.
 
     u_idx   i32[NB, U]     candidate cluster per block (sentinel = C)
@@ -146,6 +170,8 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
     t_max   f32[NB, B]
     soup    f32[C+1, 9, K] packed v0/e1/e2 components per cluster
     tri_ids i32[C+1, 1, K] original tri ids (-1 padding / sentinel)
+    n_valid i32[NB]        number of real (non-sentinel) candidates
+    entry   f32[NB, U]     conservative nearest entry-t per candidate
 
     Returns (best_t f32[NB, B], best_flat i32[NB, B]); for any_hit,
     best_flat is the 0/1 occlusion mask.
@@ -153,13 +179,18 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
     nb, n_u = u_idx.shape
     b = o_comp.shape[2]
     k = soup.shape[2]
+    c = soup.shape[0] - 1
+    if n_valid is None:
+        n_valid = jnp.sum(u_idx < c, axis=1).astype(jnp.int32)
+    if entry is None:
+        entry = jnp.zeros((nb, n_u), jnp.float32)
 
     kernel = functools.partial(_mt_kernel_body, n_u=n_u, k=k,
                                t_min=t_min, any_hit=any_hit)
     ray_spec = pl.BlockSpec((1, 1, b), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
             ray_spec, ray_spec, ray_spec,   # o components
@@ -190,7 +221,7 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
             jax.ShapeDtypeStruct((nb, 1, b), jnp.int32),
         ],
         interpret=interpret,
-    )(u_idx.reshape(-1),
+    )(u_idx.reshape(-1), n_valid, entry.reshape(-1),
       r3(o_comp[0]), r3(o_comp[1]), r3(o_comp[2]),
       r3(d_comp[0]), r3(d_comp[1]), r3(d_comp[2]),
       r3(t_max), soup, tri_ids)
