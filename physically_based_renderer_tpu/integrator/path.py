@@ -70,9 +70,9 @@ def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
 
 def _auto_tracer(scene: Scene) -> str:
     """Pick the intersection backend at TRACE time (host decision)."""
-    from ..ops.resident import RESIDENT_MAX_TRIS
+    from ..ops.resident import RESIDENT_AUTO_MAX_TRIS
     if (jax.default_backend() == "tpu"
-            and scene.geometry.num_tris <= RESIDENT_MAX_TRIS):
+            and scene.geometry.num_tris <= RESIDENT_AUTO_MAX_TRIS):
         return "resident"
     if scene.clusters is not None:
         return "pallas" if jax.default_backend() == "tpu" else "block"

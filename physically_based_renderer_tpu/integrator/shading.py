@@ -10,7 +10,7 @@ position/normal/albedo render targets, the results feed the BSDF directly.
 Performance shape (the reason for the packed layout): naive per-attribute
 indexing costs ~17 independent row gathers per bounce.  Instead all
 per-triangle shading data (corner positions as v0/e1/e2, normals, tangents,
-uvs) is packed ONCE per frame into a single wide table f32[T, 36]
+uvs) is packed ONCE per frame into a single wide table f32[T, 53]
 (pack_tri_attrs — attached, so vertex gradients still flow) and each bounce
 does ONE wide-row gather.  The attached winner re-intersection (barycentrics
 u, v from Moller-Trumbore on the gathered v0/e1/e2) also lives here, so
@@ -48,7 +48,7 @@ class ShadingPoint:
 
 
 def pack_tri_attrs(scene: Scene) -> jnp.ndarray:
-    """Pack per-triangle shading attributes into one wide table f32[T, 52].
+    """Pack per-triangle shading attributes into one wide table f32[T, 53].
 
     Columns: 0:3 v0 | 3:6 e1 | 6:9 e2 (ATTACHED to geometry.positions) |
     9:18 corner normals | 18:30 corner tangent4s | 30:36 corner uvs |
@@ -99,7 +99,7 @@ def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
     tri = jnp.maximum(hit.tri, 0)
     if tri_attrs is None:
         tri_attrs = pack_tri_attrs(scene)
-    rows = take_rows(tri_attrs, tri)                   # [N,52] ONE row fetch
+    rows = take_rows(tri_attrs, tri)                   # [N,53] ONE row fetch
 
     v0 = rows[:, 0:3]
     e1 = rows[:, 3:6]

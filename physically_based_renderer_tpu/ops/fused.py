@@ -15,8 +15,9 @@ layout wastes 7/8 sublanes).  Scene tables live in SMEM and are read as
 scalars inside `fori_loop`s over triangles/emitters (the scalar core runs
 ahead of the VPU, so table reads pipeline with intersection math).
 
-RNG is the TPU hardware PRNG (pltpu.prng_*), seeded per (frame, block) —
-a different (but equally valid) stream than the threefry keying of
+RNG is a counter-based murmur3-finalizer hash (_make_rng), keyed per
+(frame seed, ray id, sample index, static draw site) — pure integer VPU
+ops, a different (but equally valid) stream than the threefry keying of
 core/rng.py, so images agree with integrator/path.py statistically, not
 bitwise.  The kernel is PRIMAL-ONLY (search and shading fused, nothing
 differentiable): it backs `render_with_stats` / benchmarks / interactive

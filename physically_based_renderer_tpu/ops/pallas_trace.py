@@ -147,7 +147,20 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
             jnp.full((b, 1), -1, jnp.int32),
             jnp.zeros((b, 1), jnp.int32),
             0)
-    _, best_t, best_flat, occ, _ = jax.lax.while_loop(cond, u_body, init)
+    u_f, best_t, best_flat, occ, _ = jax.lax.while_loop(cond, u_body, init)
+
+    # Drain the prefetch left in flight by an early exit.  u_body starts the
+    # copy for candidate u+1 (when u+1 < nv) BEFORE `done` is known, so an
+    # early exit (closest-hit entry cutoff or any-hit full occlusion) leaves
+    # that DMA outstanding.  Scratch buffers and semaphores persist across
+    # the sequential grid: an un-waited semaphore signal would satisfy the
+    # NEXT grid step's wait before its own copy lands (stale/corrupt
+    # triangle data).  The exited carry holds u_f = u_exit + 1, which is
+    # exactly the prefetched candidate when u_f < nv.
+    @pl.when(u_f < nv)
+    def _():
+        dma_soup(u_f % 2, u_f).wait()
+        dma_tri(u_f % 2, u_f).wait()
 
     if any_hit:
         best_t_out[0, 0, :] = occ[:, 0].astype(jnp.float32)

@@ -38,6 +38,13 @@ sg = jax.lax.stop_gradient
 # Largest padded triangle count the resident tracer accepts: [T', B] f32
 # intermediates with B >= 128 must leave headroom in ~16 MB VMEM.
 RESIDENT_MAX_TRIS = 2048
+# Auto-dispatch threshold (integrator/path._auto_tracer).  Near the 2048
+# cap the kernel holds ~15 live [T', 128] f32 intermediates (~1 MB each)
+# plus the soup — VMEM-exhaustion territory — and the dense O(T*N) sweep
+# loses to the cluster tracer well before that.  Only small scenes pick
+# `resident` automatically; larger sizes are an explicit opt-in
+# (tracer="resident").
+RESIDENT_AUTO_MAX_TRIS = 512
 
 
 def _round_up(x: int, m: int) -> int:

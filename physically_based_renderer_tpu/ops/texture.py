@@ -49,8 +49,7 @@ def sample_bilinear(stack: TextureStack, tex_idx: jnp.ndarray,
     full row-gather speed.
     """
     idx = jnp.maximum(tex_idx, 0)
-    n_tex, hp, wp = stack.data.shape[0], stack.data.shape[1], \
-        stack.data.shape[2]
+    hp, wp = stack.data.shape[1], stack.data.shape[2]
     # Packed per-texture metadata: h, w, wrapS, wrapT (exact small ints in
     # f32; ONE row fetch for all four).
     meta = jnp.concatenate([stack.sizes.astype(jnp.float32),
