@@ -117,8 +117,12 @@ def main(argv=None) -> int:
         rays = float(count)
     dt = time.perf_counter() - t0
 
-    from ..core.tonemap import aces_gamma
-    ldr = aces_gamma(hdr)
+    if jax.default_backend() == "tpu":
+        from ..ops.tonemap import tonemap_pallas
+        ldr = tonemap_pallas(hdr)
+    else:
+        from ..core.tonemap import aces_gamma
+        ldr = aces_gamma(hdr)
     film_mod.write_png(args.output, ldr)
     if args.hdr_output:
         np.save(args.hdr_output, np.asarray(hdr))

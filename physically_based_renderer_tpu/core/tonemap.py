@@ -9,7 +9,8 @@ clamp to [0,1] (`aces+gamma.glsl:38`), so tonemapped output is bit-comparable
 up to float math.
 
 The jnp path is differentiable (used by inverse rendering when the loss is in
-display space); `ops.tonemap_pallas` provides the fused TPU kernel.
+display space); `ops.tonemap.tonemap_pallas` is the fused TPU kernel with
+identical math (primal-only), used by the CLI renderer.
 """
 
 from __future__ import annotations

@@ -56,7 +56,7 @@ class RenderConfig:
     rr_start: int = 100           # bounce index where Russian roulette starts
     ray_eps: float = 1e-3         # shadow/secondary ray offset
     tri_chunk: int = 2048         # brute-force intersection chunk size
-    tracer: str = "auto"          # auto|brute|bvh|stream|block|pallas
+    tracer: str = "auto"          # auto|brute|bvh|resident|block|pallas
     block_size: int = 256         # ray block for the block/pallas tracers
     max_u: int = 48               # candidate clusters per block
 
@@ -82,7 +82,7 @@ def _auto_tracer(scene: Scene) -> str:
 
 
 def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
-    """Closest-hit dispatch (cfg.tracer: auto|brute|bvh|stream|block|
+    """Closest-hit dispatch (cfg.tracer: auto|brute|bvh|resident|block|
     pallas).  'auto' = Pallas block tracer on TPU when clusters are
     attached, XLA block tracer elsewhere, brute force for small scenes."""
     tracer = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
@@ -101,10 +101,6 @@ def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
         return intersect_blocks(scene.clusters, scene.geometry, o, d,
                                 t_min=t_min, block=cfg.block_size,
                                 max_u=cfg.max_u)
-    if tracer == "stream":
-        from ..ops.stream import intersect_stream
-        return intersect_stream(scene.clusters, scene.geometry, o, d,
-                                t_min=t_min)
     if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
         return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min)
@@ -132,10 +128,6 @@ def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
         return intersect_blocks(scene.clusters, scene.geometry, o, d,
                                 t_min=t_min, t_max=t_max, any_hit=True,
                                 block=cfg.block_size, max_u=cfg.max_u)
-    if tracer == "stream":
-        from ..ops.stream import intersect_stream
-        return intersect_stream(scene.clusters, scene.geometry, o, d,
-                                t_min=t_min, t_max=t_max, any_hit=True)
     if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
         return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min,

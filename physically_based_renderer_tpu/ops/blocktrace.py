@@ -1,7 +1,7 @@
 """Block-stream tracer: coherence-exploiting intersection (fast TPU path).
 
-Measured facts driving the design (v5e, see also ops/stream.py and
-ops/traverse.py which this supersedes for large scenes):
+Measured facts driving the design (v5e, see also ops/traverse.py which this
+supersedes for large scenes):
   * dense Moller-Trumbore is nearly free (~50G tests/s via fused VPU work);
   * per-pair ROW GATHERS run ~40x off HBM speed (1.8 ms / 16k rows);
   * jnp.nonzero compaction is catastrophic (~300 ms / 25M lanes).

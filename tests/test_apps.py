@@ -94,3 +94,42 @@ def test_inverse_sharded_with_checkpoint(tmp_path):
     assert rc == 0
     from physically_based_renderer_tpu.utils import checkpoint as ckpt_mod
     assert ckpt_mod.latest_step(ckpt) == 6
+
+
+def test_report_builtin_and_gltf(tmp_path, capsys):
+    from physically_based_renderer_tpu.apps import report as report_app
+
+    rc = report_app.main(["triangle", "--json", str(tmp_path / "r.json"),
+                          "--html", str(tmp_path / "r.html")])
+    assert rc == 0
+    rep = json.loads((tmp_path / "r.json").read_text())
+    assert rep["stats"]["triangles"] == 1
+    assert rep["stats"]["directional_light"] is True
+    assert (tmp_path / "r.html").read_text().startswith("<!doctype html>")
+
+    # glTF path: node tree comes from the parsed graph
+    from physically_based_renderer_tpu.scene import graph as graph_mod
+    from physically_based_renderer_tpu.scene.export import export_glb
+    from physically_based_renderer_tpu.scene.procedural import (
+        make_cornell_box)
+    scene = make_cornell_box()
+    g = graph_mod.SceneGraph()
+    g.meshes = [graph_mod.HostMesh(name="box", primitives=[
+        graph_mod.MeshPrimitive(
+            positions=np.asarray(scene.geometry.positions),
+            normals=np.asarray(scene.geometry.normals),
+            tangents=np.asarray(scene.geometry.tangents),
+            uvs=np.asarray(scene.geometry.uvs),
+            indices=np.asarray(scene.geometry.indices),
+            material=0)])]
+    g.roots = [graph_mod.Node(name="root", mesh=0)]
+    glb = tmp_path / "box.glb"
+    export_glb(glb, g, scene.materials)
+    rc = report_app.main([str(glb), "--json", str(tmp_path / "g.json")])
+    assert rc == 0
+    rep = json.loads((tmp_path / "g.json").read_text())
+    assert any("root" in ln for ln in rep["tree"])
+    assert rep["stats"]["triangles"] == scene.geometry.num_tris
+
+    rc = report_app.main(["/nonexistent/x.glb"])
+    assert rc == 2

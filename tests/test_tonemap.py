@@ -55,3 +55,23 @@ def test_differentiable():
     g = jax.grad(lambda h: tonemap.aces_gamma(h).sum())(
         jnp.array([1.0, 2.0, 3.0]))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pallas_kernel_matches_jnp_path():
+    """ops.tonemap.tonemap_pallas == core.tonemap.aces_gamma (interpret
+    mode runs the identical kernel program off-TPU)."""
+    from physically_based_renderer_tpu.ops.tonemap import tonemap_pallas
+    rng = np.random.default_rng(3)
+    hdr = rng.uniform(0.0, 12.0, (33, 47, 3)).astype(np.float32)
+    got = np.asarray(tonemap_pallas(jnp.asarray(hdr), interpret=True))
+    want = np.asarray(tonemap.aces_gamma(jnp.asarray(hdr)))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert got.shape == hdr.shape
+
+
+def test_pallas_kernel_zero_and_huge():
+    from physically_based_renderer_tpu.ops.tonemap import tonemap_pallas
+    hdr = jnp.array([[[0.0, 0.0, 0.0], [1e6, 0.5, 0.0]]], jnp.float32)
+    out = np.asarray(tonemap_pallas(hdr, interpret=True))
+    want = np.asarray(tonemap.aces_gamma(hdr))
+    np.testing.assert_allclose(out, want, atol=2e-6)
