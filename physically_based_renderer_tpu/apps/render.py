@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blinn-phong", action="store_true",
                    help="reference-parity headlight debug shading")
     p.add_argument("--debug-checks", action="store_true",
-                   help="enable jax NaN debugging (validation-layer analog)")
+                   help="checkify-instrumented render: NaN/Inf/OOB checks "
+                        "at every site (validation-layer analog)")
     p.add_argument("--tiles", type=int, default=0,
                    help="shard rows over N devices (0 = single device)")
     p.add_argument("--stats", action="store_true",
@@ -50,8 +51,6 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
-    if args.debug_checks:
-        jax.config.update("jax_debug_nans", True)
 
     import dataclasses
     import numpy as np
@@ -106,6 +105,14 @@ def main(argv=None) -> int:
         scene = replicate_scene(scene, mesh)
         f = render_sharded(scene, camera, jax.random.key(args.seed), rcfg,
                            mesh)
+        hdr = f.mean()
+        hdr.block_until_ready()
+        rays = None
+    elif args.debug_checks:
+        # Validation-layer analog: checkify-instrumented render (NaN/Inf/
+        # OOB-gather checks at every site; raises naming the failing check).
+        from ..utils.debug import checked_render
+        f = checked_render(scene, camera, jax.random.key(args.seed), rcfg)
         hdr = f.mean()
         hdr.block_until_ready()
         rays = None

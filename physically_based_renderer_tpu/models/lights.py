@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..ops.gather import take_rows
@@ -138,22 +139,44 @@ def _inverse_cdf(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(i, 0, cdf.shape[0] - 1)
 
 
+def _row_searchsorted(cdf2d: jnp.ndarray, row: jnp.ndarray,
+                      u: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray inverse of row `row` of an inclusive CDF table [H, W]:
+    smallest col with cdf2d[row, col] >= u.
+
+    Binary search with log2(W) rounds of [N]-sized FLAT gathers — never
+    materializes the [N, W] row block (a 2048-wide HDR map at 256k rays
+    would be a 2 GB intermediate; this is ~11 x 1 MB).
+    """
+    w = cdf2d.shape[1]
+    flat = cdf2d.reshape(-1)
+    base = row * w
+    lo = jnp.zeros_like(row)            # inclusive
+    hi = jnp.full_like(row, w - 1)      # inclusive
+    steps = max(1, int(np.ceil(np.log2(max(w, 2)))))
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        v = flat[base + mid]
+        go_right = v < u
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return jnp.clip(lo, 0, w - 1)
+
+
 def sample_env(scene: Scene, n_rays: int, u2: jnp.ndarray) -> LightSample:
     """Importance-sample the environment map (2D CDF inversion)."""
     env = scene.env
     h, w = env.data.shape[0], env.data.shape[1]
     row = _inverse_cdf(env.marginal_cdf, u2[:, 0])                 # [N]
-    cond = env.conditional_cdf[row]                                # [N, W]
-    # Row-wise searchsorted via vectorized comparison (W is small enough).
-    col = jnp.sum((cond < u2[:, 1:2]).astype(jnp.int32), axis=-1)
-    col = jnp.clip(col, 0, w - 1)
+    col = _row_searchsorted(env.conditional_cdf, row, u2[:, 1])    # [N]
     theta = (row.astype(jnp.float32) + 0.5) / h * jnp.pi
     phi = ((col.astype(jnp.float32) + 0.5) / w - 0.5) * 2.0 * jnp.pi
     sin_t = jnp.sin(theta)
     wi = jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta),
                     sin_t * jnp.sin(phi)], axis=-1)
-    radiance = env.data[row, col]
-    pdf = env.pdf[row, col]
+    texel = row * w + col
+    radiance = env.data.reshape(-1, 3)[texel]
+    pdf = env.pdf.reshape(-1)[texel]
     valid = pdf > 0.0
     return LightSample(wi=wi, dist=jnp.full((n_rays,), BIG, jnp.float32),
                        radiance=radiance, pdf=pdf, valid=valid)
@@ -168,7 +191,7 @@ def env_pdf(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
     row = jnp.clip((theta / jnp.pi * h).astype(jnp.int32), 0, h - 1)
     col = jnp.clip(((phi / (2.0 * jnp.pi) + 0.5) * w).astype(jnp.int32),
                    0, w - 1)
-    return env.pdf[row, col]
+    return env.pdf.reshape(-1)[row * w + col]
 
 
 def env_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:

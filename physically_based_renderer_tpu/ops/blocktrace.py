@@ -172,9 +172,10 @@ def _impl(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
         best_flat = jnp.where(better, uc * u_chunk * k + kb, best_flat)
         return (best_t, best_flat, occ), None
 
-    init = (jnp.full((nb, b), BIG, jnp.float32),
-            jnp.full((nb, b), -1, jnp.int32),
-            jnp.zeros((nb, b), bool))
+    # Carry init derived from the (varying) ray data so shard_map's
+    # varying-axis check accepts the scan (see ops/intersect.py).
+    zb = db[:, :, 0] * 0.0                         # [NB, B] varying zeros
+    init = (zb + BIG, zb.astype(jnp.int32) - 1, zb > 1.0)
     (best_t, best_flat, occ), _ = jax.lax.scan(
         u_step, init, jnp.arange(n_uc))
 

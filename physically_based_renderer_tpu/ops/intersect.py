@@ -82,10 +82,15 @@ def intersect_brute(o: jnp.ndarray, d: jnp.ndarray, v0, v1, v2,
     v1c = v1.reshape(num_chunks, chunk, 3)
     v2c = v2.reshape(num_chunks, chunk, 3)
 
-    init = Hit(t=jnp.full((n,), BIG, jnp.float32),
-               tri=jnp.full((n,), -1, jnp.int32),
-               u=jnp.zeros((n,), jnp.float32),
-               v=jnp.zeros((n,), jnp.float32))
+    # Derive the carry init from `d` so it inherits the rays' varying-axis
+    # set: under shard_map(check_vma=True) a constant-built carry would
+    # clash with the varying per-chunk update.  (`d` not `o`: primary-ray
+    # origins are the replicated camera position, directions always vary.)
+    zero = d[:, 0] * 0.0
+    init = Hit(t=zero + BIG,
+               tri=zero.astype(jnp.int32) - 1,
+               u=zero,
+               v=zero)
 
     def body(best: Hit, args):
         ci, a0, a1, a2 = args
@@ -134,5 +139,7 @@ def occluded_brute(o: jnp.ndarray, d: jnp.ndarray, v0, v1, v2,
             o, d, a0, a1, a2, t_min, t_max_arr[:, None])
         return occ | jnp.any(valid, axis=-1), None
 
-    occ, _ = jax.lax.scan(body, jnp.zeros((n,), bool), (v0c, v1c, v2c))
+    # Varying-aware init (see intersect_brute).
+    occ0 = (d[:, 0] * 0.0) > 1.0
+    occ, _ = jax.lax.scan(body, occ0, (v0c, v1c, v2c))
     return occ

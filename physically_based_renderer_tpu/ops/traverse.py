@@ -81,14 +81,18 @@ def intersect_bvh(bvh: BVH, geometry, o: jnp.ndarray, d: jnp.ndarray,
     te1 = p[tri[:, 1]] - tv0
     te2 = p[tri[:, 2]] - tv0
 
-    stack = jnp.zeros((n, MAX_DEPTH), jnp.int32)
-    sp = jnp.ones((n,), jnp.int32)  # root pre-pushed at slot 0
+    # Carry init derived from the (varying) ray directions so shard_map's
+    # varying-axis check accepts the while_loop (see ops/intersect.py).
+    zero = d_s[:, 0] * 0.0                          # [N] varying zeros
+    izero = zero.astype(jnp.int32)
+    stack = jnp.zeros((n, MAX_DEPTH), jnp.int32) + izero[:, None]
+    sp = izero + 1  # root pre-pushed at slot 0
 
     state = dict(
         stack=stack, sp=sp,
-        best_t=t_max_arr, best_i=jnp.full((n,), -1, jnp.int32),
-        best_u=jnp.zeros((n,), jnp.float32),
-        best_v=jnp.zeros((n,), jnp.float32),
+        best_t=t_max_arr + zero, best_i=izero - 1,
+        best_u=zero,
+        best_v=zero,
     )
 
     def cond(s):

@@ -73,13 +73,13 @@ def render_sample_sharded(scene: Scene, camera: Camera, key: jax.Array,
         return render_sample(scene, camera, key, cfg,
                              row_start=i * rows, n_rows=rows)
 
-    # check_vma=False: replicated inputs feed scan carries inside the tile
-    # function (intersection chunking); the varying-axis check would demand
-    # pvary annotations inside generic integrator code.
+    # check_vma=True: shard-map's varying-axis checking is ON — integrator
+    # scan/while carries derive their inits from the per-ray direction
+    # arrays (ops/intersect.py, ops/blocktrace.py, ops/traverse.py) so the
+    # carry variance matches without blanket escapes.
     fn = shard_map(tile_fn, mesh=mesh,
                    in_specs=(P(), P(), P()),
-                   out_specs=P(TILE_AXIS, None, None),
-                   check_vma=False)
+                   out_specs=P(TILE_AXIS, None, None))
     return fn(scene, camera, key)
 
 
@@ -96,3 +96,65 @@ def render_sharded(scene: Scene, camera: Camera, key: jax.Array,
 
     film, _ = jax.lax.scan(body, film, keys)
     return film
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: tiles x spp (TP-analog x DP, SURVEY section 2.10)
+# ---------------------------------------------------------------------------
+
+SPP_AXIS = "spp"
+
+
+def make_mesh_2d(n_tiles: int, n_spp: int, devices=None) -> Mesh:
+    """(tiles, spp) mesh: image rows shard over `tiles` (the TP-analog of
+    the wavefront queue's tile dimension), samples-per-pixel shard over
+    `spp` (pure data parallelism over independent MC samples)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_tiles * n_spp]).reshape(
+        n_tiles, n_spp)
+    return Mesh(devices, (TILE_AXIS, SPP_AXIS))
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_sharded_2d(scene: Scene, camera: Camera, key: jax.Array,
+                      cfg: RenderConfig, mesh: Mesh) -> Film:
+    """Render over a (tiles, spp) mesh with a PLACED psum over the spp axis.
+
+    Each device renders (height/n_tiles rows) x (spp/n_spp samples); sample
+    films all-reduce over the spp axis (ICI), rows assemble by out_specs.
+    Per-ray RNG keys derive from (global sample index, global pixel id), so
+    the result is bitwise `render()` up to f32 psum-reduction order.
+    """
+    nt = mesh.shape[TILE_AXIS]
+    ns = mesh.shape[SPP_AXIS]
+    _check_divisible(cfg.height, nt)
+    if cfg.spp % ns:
+        raise ValueError(f"spp {cfg.spp} must divide by mesh axis "
+                         f"'{SPP_AXIS}' size {ns}")
+    rows = cfg.height // nt
+    spp_local = cfg.spp // ns
+    all_keys = jax.random.split(key, cfg.spp)
+
+    def tile_fn(scene, camera, keys):
+        i = jax.lax.axis_index(TILE_AXIS)
+        j = jax.lax.axis_index(SPP_AXIS)
+        local = jax.lax.dynamic_slice_in_dim(keys, j * spp_local,
+                                             spp_local)
+
+        def body(hdr, k):
+            r = render_sample(scene, camera, k, cfg,
+                              row_start=i * rows, n_rows=rows)
+            return hdr + r, None
+
+        init = jnp.zeros((rows, cfg.width, 3), jnp.float32)
+        init = jax.lax.pcast(init, (TILE_AXIS, SPP_AXIS), to="varying")
+        hdr, _ = jax.lax.scan(body, init, local)
+        # Placed all-reduce of sample sums over the spp axis (rides ICI).
+        return jax.lax.psum(hdr, SPP_AXIS)
+
+    fn = shard_map(tile_fn, mesh=mesh,
+                   in_specs=(P(), P(), P()),
+                   out_specs=P(TILE_AXIS, None, None))
+    hdr = fn(scene, camera, all_keys)
+    return Film(hdr=hdr, spp=jnp.asarray(cfg.spp, jnp.float32))
