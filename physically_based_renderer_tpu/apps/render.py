@@ -8,7 +8,8 @@ windowing replaced by headless output):
 
 SCENE is a .gltf/.glb path or a named builtin config (triangle, cornell,
 cornell_ggx, helmet).  `--debug-checks` is the validation-layer analog
-(jax debug_nans + finite checks).  `--blinn-phong` renders the reference's
+(checkify OOB-gather checks inside the jitted render + a finite-film
+assertion; see utils/debug.py).  `--blinn-phong` renders the reference's
 exact headlight shading for comparison images.
 """
 
@@ -90,6 +91,12 @@ def main(argv=None) -> int:
     if args.no_mis:
         overrides["mis"] = False
     rcfg = dataclasses.replace(rcfg, **overrides)
+
+    if args.debug_checks and (args.tiles or args.blinn_phong):
+        print("error: --debug-checks cannot be combined with --tiles or "
+              "--blinn-phong (the checkify instrumentation wraps the dense "
+              "single-device integrator only)", file=sys.stderr)
+        return 2
 
     scene = upload_scene(scene)
     t0 = time.perf_counter()

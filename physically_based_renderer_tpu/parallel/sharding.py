@@ -111,6 +111,10 @@ def make_mesh_2d(n_tiles: int, n_spp: int, devices=None) -> Mesh:
     `spp` (pure data parallelism over independent MC samples)."""
     if devices is None:
         devices = jax.devices()
+    if len(devices) < n_tiles * n_spp:
+        raise ValueError(
+            f"mesh ({n_tiles} tiles x {n_spp} spp) needs "
+            f"{n_tiles * n_spp} devices, only {len(devices)} available")
     devices = np.asarray(devices[: n_tiles * n_spp]).reshape(
         n_tiles, n_spp)
     return Mesh(devices, (TILE_AXIS, SPP_AXIS))

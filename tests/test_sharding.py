@@ -13,7 +13,8 @@ from physically_based_renderer_tpu.core.camera import Camera
 from physically_based_renderer_tpu.integrator.path import (
     RenderConfig, render)
 from physically_based_renderer_tpu.parallel.sharding import (
-    make_mesh, render_sharded, replicate_scene)
+    make_mesh, make_mesh_2d, render_sharded, render_sharded_2d,
+    replicate_scene)
 from physically_based_renderer_tpu.scene.procedural import make_cornell_box
 
 
@@ -59,6 +60,29 @@ def test_indivisible_height_raises(scene, camera):
     mesh = make_mesh(jax.devices())
     with pytest.raises(ValueError, match="divide"):
         render_sharded(scene, camera, jax.random.key(0), cfg, mesh)
+
+
+def test_sharded_2d_matches_single_device(scene, camera):
+    cfg = RenderConfig(width=16, height=32, spp=4, max_bounces=2)
+    key = jax.random.key(7)
+    single = np.asarray(render(scene, camera, key, cfg).mean())
+
+    mesh = make_mesh_2d(4, 2)
+    s = replicate_scene(scene, mesh)
+    tiled = np.asarray(render_sharded_2d(s, camera, key, cfg, mesh).mean())
+    np.testing.assert_allclose(tiled, single, atol=1e-5)
+
+
+def test_sharded_2d_indivisible_spp_raises(scene, camera):
+    cfg = RenderConfig(width=16, height=32, spp=3, max_bounces=1)
+    mesh = make_mesh_2d(2, 2)
+    with pytest.raises(ValueError, match="spp"):
+        render_sharded_2d(scene, camera, jax.random.key(0), cfg, mesh)
+
+
+def test_mesh_2d_too_few_devices_raises():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh_2d(4, 4)
 
 
 def test_dryrun_multichip_entrypoint():
