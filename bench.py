@@ -1,10 +1,13 @@
-"""Benchmark harness: rays/s on the BASELINE headline config.
+"""Benchmark harness: rays/s on the BASELINE configs.
 
 Headline metric (BASELINE.md): forward path-tracing throughput in rays/s on
 the Cornell box at 4 spp (512x512, 4 bounces, NEE+MIS).  Target >= 200M
 rays/s/chip.  Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
-vs_baseline = value / 200e6 (fraction of the north-star target).
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N,
+     "configs": {triangle|cornell|cornell_ggx|helmet: rays/s, ...}}
+vs_baseline = cornell value / 200e6 (fraction of the north-star target).
+The `configs` map covers all four forward BASELINE configs (VERDICT r1 #1:
+"bench reports 4 configs, each with the number in the JSON").
 
 Ray accounting: rays/s counts ray QUERIES issued by active lanes — one
 closest-hit query per bounce plus one shadow query per NEE light sample —
@@ -18,7 +21,7 @@ import json
 import time
 
 
-def main():
+def _bench_config(name: str, iters: int):
     import functools
 
     import jax
@@ -29,7 +32,7 @@ def main():
     from physically_based_renderer_tpu.scene.types import upload_scene
     from physically_based_renderer_tpu.utils import config as config_mod
 
-    bc = config_mod.get("cornell")
+    bc = config_mod.get(name)
     cfg = bc.render
     scene, camera = config_mod.build_scene(bc.scene)
     scene = upload_scene(scene)
@@ -39,8 +42,6 @@ def main():
     # remote-tunnel latency are not billed to the renderer; the final
     # scalar readback fences completion (block_until_ready is not a
     # reliable barrier through remote-device transports).
-    iters = 5
-
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def render_many(scene, camera, keys, cfg):
         def body(acc, key):
@@ -60,13 +61,22 @@ def main():
     checksum, count = render_many(scene, camera, keys, cfg)
     _ = float(checksum)
     dt = (time.perf_counter() - t0) / iters
+    return rays_per_frame / dt
 
-    rays_per_s = rays_per_frame / dt
+
+def main():
+    results = {}
+    for name, iters in (("triangle", 5), ("cornell", 5),
+                        ("cornell_ggx", 5), ("helmet", 3)):
+        results[name] = _bench_config(name, iters)
+
+    headline = results["cornell"]
     print(json.dumps({
         "metric": "cornell_512_4spp_rays_per_s",
-        "value": rays_per_s,
+        "value": headline,
         "unit": "rays/s",
-        "vs_baseline": rays_per_s / 200e6,
+        "vs_baseline": headline / 200e6,
+        "configs": results,
     }))
 
 

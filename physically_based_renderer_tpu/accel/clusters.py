@@ -22,6 +22,7 @@ with static shapes.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
@@ -37,6 +38,12 @@ class ClusterGrid:
     aabb_min: jnp.ndarray  # f32[C, 3]
     aabb_max: jnp.ndarray  # f32[C, 3]
     tri_id: jnp.ndarray    # i32[C, K] original triangle ids (-1 = padding)
+    # Pre-packed DETACHED triangle soup for the Pallas kernel (built once on
+    # the host by pack_soup_host; +1 sentinel cluster).  Rebuilding these
+    # per trace call cost ~9 ms/query on the 100k-tri helmet.  Under vertex
+    # optimization they go stale — grad/inverse refreshes via refit.
+    soup: jnp.ndarray | None = None        # f32[C+1, 9, K]
+    tri_packed: jnp.ndarray | None = None  # i32[C+1, 1, K]
 
     @property
     def num_clusters(self) -> int:
@@ -75,6 +82,73 @@ def build_clusters(positions: np.ndarray, indices: np.ndarray,
         amin[i] = nmin[nid]
         amax[i] = nmax[nid]
     return ClusterGrid(aabb_min=amin, aabb_max=amax, tri_id=tri_id)
+
+
+def pack_soup_host(grid: ClusterGrid, positions: np.ndarray,
+                   indices: np.ndarray) -> ClusterGrid:
+    """Attach the packed per-cluster soup (numpy, ingest-time).
+
+    Layout matches ops/blocktrace.pack_soup: soup f32[C+1, 9, K] rows are
+    (v0 xyz, e1 xyz, e2 xyz), tri_packed i32[C+1, 1, K]; padding / the
+    sentinel cluster carry far-away degenerate triangles (tri id -1).
+    """
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32)
+    c, k = grid.num_clusters, grid.k
+    tri_id = np.asarray(grid.tri_id)
+    safe = np.maximum(tri_id, 0)
+    tri = indices[safe]                                  # [C,K,3]
+    v0 = positions[tri[..., 0]]
+    v1 = positions[tri[..., 1]]
+    v2 = positions[tri[..., 2]]
+    pad = (tri_id < 0)[..., None]
+    v0 = np.where(pad, np.float32(2e30), v0)
+    e1 = np.where(pad, 0.0, v1 - v0).astype(np.float32)
+    e2 = np.where(pad, 0.0, v2 - v0).astype(np.float32)
+    comp = np.concatenate([np.moveaxis(v0, -1, 1), np.moveaxis(e1, -1, 1),
+                           np.moveaxis(e2, -1, 1)], axis=1)  # [C,9,K]
+    # Pad component rows 9 -> 16: Mosaic requires VMEM slices to be
+    # 8-sublane aligned, and 16 rows make each cluster's DMA one aligned
+    # rectangle (8 KB vs 4.6 KB — still negligible traffic).
+    comp = np.concatenate(
+        [comp, np.zeros((c, 7, k), np.float32)], axis=1)     # [C,16,K]
+    soup = np.concatenate([comp, np.zeros((1, 16, k), np.float32)], axis=0)
+    tri_packed = np.concatenate(
+        [tri_id[:, None, :], np.full((1, 1, k), -1, np.int32)], axis=0)
+    return grid.replace(soup=soup, tri_packed=tri_packed)
+
+
+def refit_clusters(grid: ClusterGrid, geometry) -> ClusterGrid:
+    """Device-side refit: recompute cluster AABBs + the packed soup from the
+    CURRENT vertex positions (detached), keeping the triangle partition.
+
+    The inverse-rendering loop calls this when `vertex_positions` is
+    trainable (grad/inverse.py) so an optimized mesh never escapes its
+    acceleration structure — the cluster analog of accel/bvh.refit_bvh.
+    Cluster quality degrades gracefully if vertices move far (boxes grow,
+    never miss).
+    """
+    sg = jax.lax.stop_gradient
+    geometry = jax.tree.map(sg, geometry)
+    v0, e1, e2 = cluster_tri_soup(grid, geometry)        # [C,K,3], pad=far
+    pad = (grid.tri_id < 0)[..., None]
+    v1 = v0 + e1
+    v2 = v0 + e2
+    big = jnp.float32(3e30)
+    lo3 = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi3 = jnp.maximum(jnp.maximum(v0, v1), v2)
+    amin = jnp.where(pad, big, lo3).min(axis=1)          # [C,3]
+    amax = jnp.where(pad, -big, hi3).max(axis=1)
+    c, k = grid.num_clusters, grid.k
+    comp = jnp.concatenate([jnp.moveaxis(v0, -1, 1),
+                            jnp.moveaxis(e1, -1, 1),
+                            jnp.moveaxis(e2, -1, 1),
+                            jnp.zeros((c, 7, k), jnp.float32)], axis=1)
+    soup = jnp.concatenate([comp, jnp.zeros((1, 16, k), jnp.float32)],
+                           axis=0)
+    if grid.soup is None:
+        soup = None  # keep the pytree structure stable for jit
+    return grid.replace(aabb_min=amin, aabb_max=amax, soup=soup)
 
 
 def cluster_tri_soup(grid: ClusterGrid, geometry):

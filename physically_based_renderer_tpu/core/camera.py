@@ -97,6 +97,29 @@ def generate_rays(camera: Camera, width: int, height: int,
     return o, d
 
 
+def generate_rays_at(camera: Camera, width: int, height: int,
+                     px: jnp.ndarray, py: jnp.ndarray,
+                     jitter: jnp.ndarray):
+    """Primary rays at explicit pixel coordinates (flat batch form).
+
+    px, py: f32[N] integer pixel coords; jitter: f32[N, 2] in [0,1).
+    Same NDC/basis conventions as generate_rays — generate_rays(...) equals
+    generate_rays_at on the row-major meshgrid.  Used by the morton-ordered
+    trace path (core/morton.py), where ray order != image order.
+
+    Returns (origins f32[N,3], directions f32[N,3] unit).
+    """
+    aspect = width / height
+    right, up, fwd = camera.basis()
+    tan_half = jnp.tan(camera.fov_y / 2.0)
+    ndc_x = (2.0 * (px + jitter[:, 0]) / width - 1.0) * aspect * tan_half
+    ndc_y = (2.0 * (py + jitter[:, 1]) / height - 1.0) * tan_half
+    d = ndc_x[:, None] * right + ndc_y[:, None] * up + fwd
+    d = math3d.normalize(d)
+    o = jnp.broadcast_to(camera.position, d.shape)
+    return o, d
+
+
 def generate_rays_flat(camera: Camera, width: int, height: int,
                        key: jax.Array | None = None):
     """Flat [H*W, 3] ray batch with optional (legacy, non-shard-invariant)

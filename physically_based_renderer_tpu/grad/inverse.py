@@ -8,14 +8,16 @@ Structure: a `TrainableParams` pytree selects which scene quantities are
 optimized; `apply_params` grafts them into a Scene; `make_train_step` builds
 a jitted (optionally mesh-sharded) step: forward render -> pixel loss ->
 reverse-mode gradients (through the detached-sampling estimator, see
-integrator/path.py) -> optax update.  Under a sharded mesh the gradient
-all-reduce is inserted by XLA from the sharding propagation (psum over ICI),
-overlapping with the backward where the scheduler allows.
+integrator/path.py) -> optax update.  Under a mesh the whole step runs in
+shard_map with an EXPLICITLY PLACED `jax.lax.psum` gradient all-reduce over
+the tile axis (make_train_step_spmd) — the ICI collective the north star
+prescribes, not GSPMD propagation.  Vertex optimization keeps acceleration
+structures live by refitting the cluster grid on-device every step
+(_with_live_accel).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
@@ -25,7 +27,6 @@ from flax import struct
 
 from ..core.camera import Camera
 from ..integrator.path import RenderConfig, render
-from ..parallel.sharding import render_sharded
 from ..scene.types import Scene
 
 
@@ -100,20 +101,43 @@ def pixel_loss(hdr: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(d * d)
 
 
+def _with_live_accel(scene: Scene, params: TrainableParams) -> Scene:
+    """Keep acceleration structures valid under vertex optimization.
+
+    Cluster grids refit on-device every step (accel/clusters.refit_clusters)
+    so the optimized mesh can never escape its (frozen-partition) AABBs; a
+    BVH cannot refit inside jit (host builder), so it is dropped and tracing
+    falls back to brute/resident — correct, just slower.  No-op when
+    vertices are frozen.
+    """
+    if params.vertex_positions is None:
+        return scene
+    if scene.clusters is not None:
+        from ..accel.clusters import refit_clusters
+        scene = scene.replace(
+            clusters=refit_clusters(scene.clusters, scene.geometry))
+    if scene.bvh is not None:
+        scene = scene.replace(bvh=None)
+    return scene
+
+
 def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
                     optimizer: optax.GradientTransformation,
                     mesh=None):
     """Build a jitted train step closed over static config/mesh.
 
     step(params, opt_state, key, target) -> (params, opt_state, loss)
+
+    With `mesh`, uses the explicit-SPMD step (make_train_step_spmd): the
+    whole forward+backward runs inside shard_map with a PLACED
+    `jax.lax.psum` gradient all-reduce over the mesh axis.
     """
+    if mesh is not None:
+        return make_train_step_spmd(scene, camera, cfg, optimizer, mesh)
 
     def loss_fn(params: TrainableParams, key, target):
-        s = apply_params(scene, params)
-        if mesh is not None:
-            film = render_sharded(s, camera, key, cfg, mesh)
-        else:
-            film = render(s, camera, key, cfg)
+        s = _with_live_accel(apply_params(scene, params), params)
+        film = render(s, camera, key, cfg)
         return pixel_loss(film.mean(), target)
 
     @jax.jit
@@ -122,6 +146,67 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    return step
+
+
+def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
+                         optimizer: optax.GradientTransformation, mesh):
+    """Explicit-SPMD train step: shard_map over the mesh's `tiles` axis.
+
+    Per device: render its row band (all spp), local pixel loss, reverse-
+    mode gradients — then ONE placed `jax.lax.psum` of the parameter
+    gradients over the mesh axis (this is the gradient all-reduce riding
+    ICI; BASELINE north star), identical replicated optimizer update on
+    every device.  Nothing is left to GSPMD propagation: in_specs place the
+    target rows on the axis, out_specs keep params/opt_state replicated.
+
+    step(params, opt_state, key, target[H,W,3]) -> (params, opt_state, loss)
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..integrator.path import _sample_radiance
+    from ..parallel.sharding import TILE_AXIS, _check_divisible
+
+    n = mesh.shape[TILE_AXIS]
+    _check_divisible(cfg.height, n)
+    rows = cfg.height // n
+
+    def local_loss(params, scene, key, target_band):
+        i = jax.lax.axis_index(TILE_AXIS)
+        s = _with_live_accel(apply_params(scene, params), params)
+        keys = jax.random.split(key, cfg.spp)
+
+        def body(acc, k):
+            band = _sample_radiance(s, camera, k, cfg,
+                                    row_start=i * rows, n_rows=rows)
+            return acc + band, None
+
+        init = jax.lax.pcast(jnp.zeros((rows, cfg.width, 3), jnp.float32),
+                             TILE_AXIS, to="varying")
+        hdr, _ = jax.lax.scan(body, init, keys)
+        return pixel_loss(hdr / cfg.spp, target_band)
+
+    def shard_step(params, opt_state, scene, key, target):
+        loss, grads = jax.value_and_grad(local_loss)(params, scene, key,
+                                                     target)
+        # The gradient all-reduce, explicitly placed (mean of band losses).
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, TILE_AXIS) / n, grads)
+        loss = jax.lax.psum(loss, TILE_AXIS) / n
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(TILE_AXIS, None, None)),
+        out_specs=(P(), P(), P()))
+
+    @jax.jit
+    def step(params, opt_state, key, target):
+        return sharded(params, opt_state, scene, key, target)
 
     return step
 

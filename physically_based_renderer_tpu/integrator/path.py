@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng as rng_mod
-from ..core.camera import Camera, generate_rays
+from ..core.camera import Camera, generate_rays_at
 from ..core.film import Film
 from ..core import math3d
 from ..models import lights as lights_mod
@@ -59,6 +59,28 @@ class RenderConfig:
     tracer: str = "auto"          # auto|brute|bvh|resident|block|pallas
     block_size: int = 256         # ray block for the block/pallas tracers
     max_u: int = 48               # candidate clusters per block
+    resort: bool = True           # re-sort bounce rays by (dead, direction
+    #                               octant) each bounce: block tracers feed
+    #                               on block coherence (no-op otherwise)
+
+
+def _bucket_sort_perm(key: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
+    """Stable counting-sort permutation for small integer keys [N].
+
+    jnp.argsort on 262k lanes costs ~20 ms on v5e; for <=16 buckets a
+    one-hot cumsum + one scatter build the same stable permutation in ~2 ms.
+    Returns perm such that key[perm] is sorted ascending, stable.
+    """
+    n = key.shape[0]
+    onehot = (key[:, None] == jnp.arange(n_buckets)).astype(jnp.int32)
+    within = jnp.cumsum(onehot, axis=0) - onehot      # exclusive in-bucket
+    counts = jnp.sum(onehot, axis=0)                  # [B]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    pos = (jnp.sum(within * onehot, axis=1)
+           + offsets[jnp.clip(key, 0, n_buckets - 1)])
+    return jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n,
+                                                             dtype=jnp.int32))
 
 
 def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
@@ -81,25 +103,36 @@ def _auto_tracer(scene: Scene) -> str:
     return "brute"
 
 
-def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig) -> Hit:
+def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig,
+                active=None) -> Hit:
     """Closest-hit dispatch (cfg.tracer: auto|brute|bvh|resident|block|
     pallas).  'auto' = Pallas block tracer on TPU when clusters are
-    attached, XLA block tracer elsewhere, brute force for small scenes."""
+    attached, XLA block tracer elsewhere, brute force for small scenes.
+
+    `active`: optional bool[N] lane mask.  Block tracers turn dead lanes
+    into t_max=0 rays, which drop out of the bundle bounds AND the kernel's
+    live-lane early exit — dead lanes stop dragging whole blocks through
+    every candidate cluster.  Dead lanes report miss.
+    """
     tracer = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
+    t_max = BIG if active is None else jnp.where(sg(active), BIG, 0.0)
     if tracer == "resident":
         from ..ops.resident import intersect_resident
         return intersect_resident(scene.geometry, o, d, t_min=t_min,
                                   interpret=jax.default_backend() != "tpu")
     if tracer == "pallas":
         from ..ops.blocktrace import intersect_blocks_pallas
+        # lean: shade_surface re-derives attached (u, v, t); the tracer's
+        # own differentiable finish would be duplicate ray-sized gathers.
         return intersect_blocks_pallas(
-            scene.clusters, scene.geometry, o, d, t_min=t_min,
+            scene.clusters, scene.geometry, o, d, t_min=t_min, t_max=t_max,
             block=cfg.block_size, max_u=cfg.max_u,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", lean=True)
     if tracer == "block":
         from ..ops.blocktrace import intersect_blocks
         return intersect_blocks(scene.clusters, scene.geometry, o, d,
-                                t_min=t_min, block=cfg.block_size,
+                                t_min=t_min, t_max=t_max,
+                                block=cfg.block_size,
                                 max_u=cfg.max_u)
     if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
@@ -164,10 +197,21 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     # pdf of the *previous* BSDF sampling decision, for MIS of emitter hits.
     prev_pdf = jnp.zeros((n,), jnp.float32)  # 0 => treat as delta (camera)
 
+    # Per-bounce ray re-sort (block tracers only): a stable sort by (dead,
+    # direction octant) packs dead lanes into trailing all-dead blocks
+    # (which the kernel skips at n_valid=0) and gives live blocks sign-
+    # coherent direction bundles, shrinking their candidate-cluster unions.
+    # Per-ray RNG keys ride the permutation, so every pixel's estimate is
+    # invariant to resorting; `order` maps current->original lane.
+    tracer_kind = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
+    use_resort = cfg.resort and tracer_kind in ("block", "pallas")
+    order = jnp.arange(n)
+
     for bounce in range(cfg.max_bounces + 1):
         ray_count = ray_count + jnp.sum(active.astype(jnp.float32))
         hit = closest_hit(scene, o, d,
-                          t_min=0.0 if bounce == 0 else cfg.ray_eps, cfg=cfg)
+                          t_min=0.0 if bounce == 0 else cfg.ray_eps, cfg=cfg,
+                          active=None if bounce == 0 else active)
         miss = hit.miss
 
         # --- escaped rays: environment ---------------------------------
@@ -267,6 +311,25 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             throughput = throughput / jnp.maximum(q, 1e-6)[:, None]
             active = active & survive
 
+        # --- coherence re-sort for the next trace ------------------------
+        if use_resort:
+            ds = sg(d)
+            octant = ((ds[:, 0] < 0).astype(jnp.int32) * 4
+                      + (ds[:, 1] < 0).astype(jnp.int32) * 2
+                      + (ds[:, 2] < 0).astype(jnp.int32))
+            sort_key = jnp.where(sg(active), octant, 8)   # dead lanes last
+            perm = _bucket_sort_perm(sort_key, 9)
+            o = o[perm]
+            d = d[perm]
+            L = L[perm]
+            throughput = throughput[perm]
+            active = active[perm]
+            prev_pdf = prev_pdf[perm]
+            keys = keys[perm]
+            order = order[perm]
+
+    if use_resort:
+        L = jnp.zeros_like(L).at[order].set(L)
     if return_stats:
         return L, ray_count
     return L
@@ -281,8 +344,9 @@ def _nee_contrib(scene, sp, wo, d, ls, throughput, active, o_shadow,
     f, pdf_b = eval_bsdf(sp.bsdf, wo, wi)
     cos_i = jnp.maximum(wi[..., 2], 0.0)
     cand = active & ls.valid & (sg(cos_i) > 1e-7) & (sg(ls.pdf) > 0.0)
-    # Avoid tracing shadow rays for hopeless samples but keep static shape.
-    t_max = sg(ls.dist) * (1.0 - 1e-3)
+    # Hopeless lanes get t_max=0: static shape, but the block tracer's
+    # bundle bounds and live-lane early exit skip them (see closest_hit).
+    t_max = jnp.where(sg(cand), sg(ls.dist) * (1.0 - 1e-3), 0.0)
     occ = occluded(scene, sg(o_shadow), wi_w, t_min=cfg.ray_eps,
                    t_max=t_max, cfg=cfg)
     vis = cand & ~occ
@@ -297,25 +361,57 @@ def _nee_contrib(scene, sp, wo, d, ls, throughput, active, o_shadow,
 # Full-frame rendering
 # ---------------------------------------------------------------------------
 
-def render_sample(scene: Scene, camera: Camera, key: jax.Array,
-                  cfg: RenderConfig, row_start=0,
-                  n_rows: int | None = None) -> jnp.ndarray:
+def _wants_morton(scene: Scene, cfg: RenderConfig) -> bool:
+    """Morton-order the ray stream when a block tracer will run: block
+    coherence is what its candidate culling feeds on (core/morton.py).
+    Other tracers are order-invariant — skip the unscramble gather."""
+    tracer = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
+    return tracer in ("block", "pallas")
+
+
+def _sample_radiance(scene: Scene, camera: Camera, key: jax.Array,
+                     cfg: RenderConfig, row_start=0,
+                     n_rows: int | None = None, return_stats: bool = False):
     """One sample per pixel for a row band -> radiance [n_rows, W, 3].
 
     `key` is the per-sample base key; per-ray keys derive from GLOBAL pixel
-    ids so a band render equals the corresponding slice of a full render.
+    ids so a band render equals the corresponding slice of a full render —
+    and so the morton PROCESSING order (block tracers) cannot change any
+    pixel's random sequence, only which rays share a block.
     """
     if n_rows is None:
         n_rows = cfg.height
-    row_ids = jnp.arange(n_rows) + row_start
-    pix = (row_ids[:, None] * cfg.width + jnp.arange(cfg.width)).reshape(-1)
+    if _wants_morton(scene, cfg):
+        from ..core.morton import morton_pixel_ids
+        # Band-LOCAL morton permutation (static shapes even when row_start
+        # is a traced axis_index under shard_map); offset to global ids.
+        local = jnp.asarray(morton_pixel_ids(n_rows, cfg.width))
+        pix = local + jnp.asarray(row_start) * cfg.width
+    else:
+        row_ids = jnp.arange(n_rows) + row_start
+        pix = (row_ids[:, None] * cfg.width
+               + jnp.arange(cfg.width)).reshape(-1)
     keys = rng_mod.ray_keys(key, pix)
-    jitter = rng_mod.ray_uniform(keys, 0, rng_mod.STREAM_PIXEL_JITTER,
-                                 2).reshape(n_rows, cfg.width, 2)
-    o, d = generate_rays(camera, cfg.width, cfg.height, jitter,
-                         row_start=row_start, n_rows=n_rows)
-    L = trace_radiance(scene, o.reshape(-1, 3), d.reshape(-1, 3), keys, cfg)
-    return L.reshape(n_rows, cfg.width, 3)
+    jitter = rng_mod.ray_uniform(keys, 0, rng_mod.STREAM_PIXEL_JITTER, 2)
+    px = (pix % cfg.width).astype(jnp.float32)
+    py = (pix // cfg.width).astype(jnp.float32)
+    o, d = generate_rays_at(camera, cfg.width, cfg.height, px, py, jitter)
+    out = trace_radiance(scene, o, d, keys, cfg, return_stats=return_stats)
+    L, count = out if return_stats else (out, None)
+    if _wants_morton(scene, cfg):
+        # Unscramble: one static scatter per sample pays for every trace's
+        # coherence win.
+        band = jnp.zeros((n_rows * cfg.width, 3), L.dtype)
+        L = band.at[local].set(L)
+    img = L.reshape(n_rows, cfg.width, 3)
+    return (img, count) if return_stats else img
+
+
+def render_sample(scene: Scene, camera: Camera, key: jax.Array,
+                  cfg: RenderConfig, row_start=0,
+                  n_rows: int | None = None) -> jnp.ndarray:
+    """One sample per pixel for a row band -> radiance [n_rows, W, 3]."""
+    return _sample_radiance(scene, camera, key, cfg, row_start, n_rows)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -378,17 +474,7 @@ def _render_with_stats_dense(scene: Scene, camera: Camera, key: jax.Array,
     keys = jax.random.split(key, cfg.spp)
 
     def one(key):
-        row_ids = jnp.arange(cfg.height)
-        pix = (row_ids[:, None] * cfg.width
-               + jnp.arange(cfg.width)).reshape(-1)
-        rkeys = rng_mod.ray_keys(key, pix)
-        jitter = rng_mod.ray_uniform(
-            rkeys, 0, rng_mod.STREAM_PIXEL_JITTER, 2).reshape(
-                cfg.height, cfg.width, 2)
-        o, d = generate_rays(camera, cfg.width, cfg.height, jitter)
-        L, count = trace_radiance(scene, o.reshape(-1, 3), d.reshape(-1, 3),
-                                  rkeys, cfg, return_stats=True)
-        return L.reshape(cfg.height, cfg.width, 3), count
+        return _sample_radiance(scene, camera, key, cfg, return_stats=True)
 
     def body(carry, k):
         f, c = carry

