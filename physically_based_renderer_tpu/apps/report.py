@@ -72,8 +72,8 @@ def _scene_stats(scene) -> dict:
         "triangles": int(g.num_tris),
         "vertices": int(g.num_vertices),
         "materials": int(scene.materials.num_materials),
-        "textures": int(tex.data.shape[0]) if scene.has_textures else 0,
-        "texture_stack_shape": list(tex.data.shape),
+        "textures": tex.num_textures if scene.has_textures else 0,
+        "texture_shapes": [list(s) for s in tex.shapes],
         "emitters": int(np.asarray(scene.emitters.valid).sum()),
         "directional_light": bool(scene.has_directional),
         "env_map": (list(scene.env.data.shape[:2])

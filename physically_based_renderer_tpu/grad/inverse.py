@@ -38,7 +38,7 @@ class TrainableParams:
     roughness_factor: Any = None    # f32[M]
     metallic_factor: Any = None     # f32[M]
     emissive_factor: Any = None     # f32[M,3]
-    texture_data: Any = None        # f32[N,H,W,4]
+    texture_data: Any = None        # f32[R,4] flat texel arena
     env_data: Any = None            # f32[EH,EW,3]
     vertex_positions: Any = None    # f32[V,3]
 
@@ -55,7 +55,7 @@ class TrainableParams:
             if metallic else None,
             emissive_factor=scene.materials.emissive_factor
             if emissive else None,
-            texture_data=scene.textures.data if textures else None,
+            texture_data=scene.textures.texels if textures else None,
             env_data=scene.env.data if (env and scene.env is not None)
             else None,
             vertex_positions=scene.geometry.positions if vertices else None,
@@ -80,7 +80,7 @@ def apply_params(scene: Scene, p: TrainableParams) -> Scene:
     scene = scene.replace(materials=mats)
     if p.texture_data is not None:
         scene = scene.replace(textures=scene.textures.replace(
-            data=jnp.clip(p.texture_data, 0.0, None)))
+            texels=jnp.clip(p.texture_data, 0.0, None)))
     if p.env_data is not None:
         scene = scene.replace(env=scene.env.replace(
             data=jnp.maximum(p.env_data, 0.0)))

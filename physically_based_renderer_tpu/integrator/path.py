@@ -172,14 +172,16 @@ def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
 
 def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                    keys: jax.Array, cfg: RenderConfig,
-                   return_stats: bool = False):
+                   return_stats: bool = False, cone_angle=None):
     """Estimate radiance along rays (o, d) [N,3] -> L [N,3].
 
     One sample per ray; callers average over spp.  `keys` is a PER-RAY key
     array [N] (core.rng.ray_keys) so results are invariant to batching and
-    sharding.  With return_stats=True also returns the number of ray
-    queries issued by ACTIVE lanes (closest-hit + shadow), the honest
-    "rays" numerator for rays/s benchmarks.
+    sharding.  `cone_angle` (scalar) is the pixel footprint angle driving
+    ray-cone mip selection (None => level-0 texture fetches).  With
+    return_stats=True also returns the number of ray queries issued by
+    ACTIVE lanes (closest-hit + shadow), the honest "rays" numerator for
+    rays/s benchmarks.
     """
     n = o.shape[0]
     ray_count = jnp.zeros((), jnp.float32)
@@ -190,6 +192,9 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     tri_attrs = pack_tri_attrs(scene)
     emitter_attrs = (lights_mod.pack_emitter_attrs(scene) if has_emitters
                      else None)
+    from ..ops.texture import build_pyramid
+    pyramid = build_pyramid(scene.textures) if scene.has_textures else None
+    path_dist = jnp.zeros((n,), jnp.float32)   # ray-cone mip selection
 
     L = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
@@ -228,7 +233,11 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                               throughput * env_l * w_env[:, None], 0.0)
         active = active & ~miss
 
-        sp = shade_surface(scene, hit, o, d, tri_attrs=tri_attrs)
+        path_dist = path_dist + jnp.minimum(sg(hit.t), 1e6) * (
+            ~miss).astype(jnp.float32)
+        cone_w = (path_dist * cone_angle) if cone_angle is not None else None
+        sp = shade_surface(scene, hit, o, d, tri_attrs=tri_attrs,
+                           pyramid=pyramid, cone_width=cone_w)
 
         # --- emitter hit through BSDF sampling (or camera) --------------
         if has_emitters:
@@ -327,6 +336,7 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             prev_pdf = prev_pdf[perm]
             keys = keys[perm]
             order = order[perm]
+            path_dist = path_dist[perm]
 
     if use_resort:
         L = jnp.zeros_like(L).at[order].set(L)
@@ -396,7 +406,11 @@ def _sample_radiance(scene: Scene, camera: Camera, key: jax.Array,
     px = (pix % cfg.width).astype(jnp.float32)
     py = (pix // cfg.width).astype(jnp.float32)
     o, d = generate_rays_at(camera, cfg.width, cfg.height, px, py, jitter)
-    out = trace_radiance(scene, o, d, keys, cfg, return_stats=return_stats)
+    # Pixel footprint angle for ray-cone mip selection (ops/texture.py).
+    cone_angle = (2.0 * jnp.tan(camera.fov_y * 0.5) / cfg.height
+                  if scene.has_textures else None)
+    out = trace_radiance(scene, o, d, keys, cfg, return_stats=return_stats,
+                         cone_angle=cone_angle)
     L, count = out if return_stats else (out, None)
     if _wants_morton(scene, cfg):
         # Unscramble: one static scatter per sample pays for every trace's

@@ -28,8 +28,20 @@ from ..core import math3d
 from ..models.bsdf import BsdfParams
 from ..ops.gather import take_rows
 from ..ops.intersect import Hit
-from ..ops.texture import sample_bilinear
-from ..scene.types import Scene
+from ..ops.texture import (META_W, TexturePyramid, build_pyramid,
+                           sample_slot, texture_meta)
+from ..scene.types import MIP_LINEAR, Scene
+
+sg = jax.lax.stop_gradient
+
+# Column offsets of the packed per-triangle attribute row (pack_tri_attrs).
+COL_FACTORS = 36       # 36:40 base_color | 40 metallic | 41 roughness |
+#                        42:45 emissive | 45 specular | 46 normal_scale
+COL_MAT = 47
+COL_PDF_AREA = 48
+COL_UV_DENSITY = 49
+COL_META = 50          # 4 slots x META_W texture metadata
+ATTR_W = COL_META + 4 * META_W
 
 
 @struct.dataclass
@@ -48,29 +60,49 @@ class ShadingPoint:
 
 
 def pack_tri_attrs(scene: Scene) -> jnp.ndarray:
-    """Pack per-triangle shading attributes into one wide table f32[T, 53].
+    """Pack per-triangle shading attributes into one wide table f32[T, 86].
 
     Columns: 0:3 v0 | 3:6 e1 | 6:9 e2 (ATTACHED to geometry.positions) |
     9:18 corner normals | 18:30 corner tangent4s | 30:36 corner uvs |
     36:40 base_color_factor | 40 metallic | 41 roughness | 42:45 emissive |
     45 specular | 46 normal_scale (ATTACHED to materials) | 47 material id |
-    48:52 texture ids (base_color, metallic_roughness, normal, emissive) |
-    52 NEE area-measure pdf of the triangle (models/lights.py, for MIS).
-    Built once per frame; every bounce then needs a single [N, 53] row
-    fetch (ops/gather.take_rows) instead of ~17 separate gathers.
+    48 NEE area-measure pdf of the triangle (models/lights.py, for MIS) |
+    49 uv density sqrt(uv_area / world_area) (ray-cone mip selection) |
+    50.. four ops.texture.texture_meta rows (base_color, metallic_roughness,
+    normal, emissive slots; off0 = -1 marks "no texture").
+    Built once per frame; every bounce then needs a single [N, 86] row
+    fetch (ops/gather.take_rows) instead of ~17 separate gathers — and the
+    embedded texture metadata makes each texture fetch metadata-free.
     """
     from ..models.lights import dense_tri_pdf_area
     g = scene.geometry
     m = scene.materials
     i0, i1, i2 = g.indices[:, 0], g.indices[:, 1], g.indices[:, 2]
     v0 = g.positions[i0]
+    e1 = g.positions[i1] - v0
+    e2 = g.positions[i2] - v0
     tm = g.tri_material
     f32 = lambda x: x.astype(jnp.float32)
+
+    uv0, uv1, uv2 = g.uvs[i0], g.uvs[i1], g.uvs[i2]
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
+    uv_area = 0.5 * jnp.abs(duv1[:, 0] * duv2[:, 1]
+                            - duv1[:, 1] * duv2[:, 0])
+    w_area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    uv_density = sg(jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-20)))
+
+    meta_tab = jnp.asarray(texture_meta(scene.textures))   # [T_tex, 9]
+
+    def slot_meta(ids):
+        rows = meta_tab[jnp.maximum(ids, 0)]               # [M, 9]
+        return jnp.where((ids >= 0)[:, None], rows, -1.0)[tm]
+
     return jnp.concatenate([
-        v0, g.positions[i1] - v0, g.positions[i2] - v0,
+        v0, e1, e2,
         g.normals[i0], g.normals[i1], g.normals[i2],
         g.tangents[i0], g.tangents[i1], g.tangents[i2],
-        g.uvs[i0], g.uvs[i1], g.uvs[i2],
+        uv0, uv1, uv2,
         m.base_color_factor[tm],
         m.metallic_factor[tm][:, None],
         m.roughness_factor[tm][:, None],
@@ -78,28 +110,34 @@ def pack_tri_attrs(scene: Scene) -> jnp.ndarray:
         m.specular_factor[tm][:, None],
         m.normal_scale[tm][:, None],
         f32(tm)[:, None],
-        f32(m.base_color_tex[tm])[:, None],
-        f32(m.metallic_roughness_tex[tm])[:, None],
-        f32(m.normal_tex[tm])[:, None],
-        f32(m.emissive_tex[tm])[:, None],
         dense_tri_pdf_area(scene)[:, None],
+        uv_density[:, None],
+        slot_meta(m.base_color_tex),
+        slot_meta(m.metallic_roughness_tex),
+        slot_meta(m.normal_tex),
+        slot_meta(m.emissive_tex),
     ], axis=1)
 
 
 def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
                   ray_d: jnp.ndarray,
-                  tri_attrs: jnp.ndarray | None = None) -> ShadingPoint:
+                  tri_attrs: jnp.ndarray | None = None,
+                  pyramid: TexturePyramid | None = None,
+                  cone_width: jnp.ndarray | None = None) -> ShadingPoint:
     """Build shading points for hits (garbage-but-finite values for misses;
     callers mask by hit.miss).
 
     `ray_o`/`ray_d` are the (attached) ray origins/directions; barycentrics
     are re-derived here attached so tracer hits may be detached.  Pass a
-    prebuilt `tri_attrs` (pack_tri_attrs) to amortize packing over bounces.
+    prebuilt `tri_attrs` (pack_tri_attrs) and `pyramid` (build_pyramid) to
+    amortize packing over bounces.  `cone_width` f32[N] is the ray cone's
+    world-space diameter at the hit (pixel_cone_angle x path distance);
+    None disables mip selection (level-0 bilinear everywhere).
     """
     tri = jnp.maximum(hit.tri, 0)
     if tri_attrs is None:
         tri_attrs = pack_tri_attrs(scene)
-    rows = take_rows(tri_attrs, tri)                   # [N,53] ONE row fetch
+    rows = take_rows(tri_attrs, tri)                   # [N,86] ONE row fetch
 
     v0 = rows[:, 0:3]
     e1 = rows[:, 3:6]
@@ -130,7 +168,28 @@ def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
     ng_o = ng * sign          # oriented toward the incoming ray
     ns = ns_raw * sign
 
-    mat = rows[:, 47].astype(jnp.int32)
+    mat = rows[:, COL_MAT].astype(jnp.int32)
+
+    if scene.has_textures:
+        if pyramid is None:
+            pyramid = build_pyramid(scene.textures)
+        trilinear = any(f[2] == MIP_LINEAR for f in scene.textures.filt)
+        if cone_width is None:
+            lod = None
+        else:
+            # Ray-cone LOD (Akenine-Moller ray cones, simplified: no
+            # curvature/BSDF spread): footprint at the hit = cone width
+            # stretched by 1/|cos| grazing and converted to uv space by the
+            # triangle's uv density; the per-texture size term is added in
+            # sample_slot.  Entirely a (detached) sampling decision.
+            cosg = jnp.abs(jnp.sum(sg(ng) * ray_d, axis=-1))
+            foot = (sg(cone_width) * rows[:, COL_UV_DENSITY]
+                    / jnp.maximum(cosg, 0.08))
+            lod = jnp.log2(jnp.maximum(sg(foot), 1e-30))
+
+        def meta(slot):
+            c = COL_META + slot * META_W
+            return rows[:, c:c + META_W]
 
     # TBN frame: tangent orthogonalized against the shading normal,
     # bitangent = cross(N, T) * T.w  (geometry_pass/vertex.glsl:30-32).
@@ -141,10 +200,10 @@ def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
     if scene.has_textures:
         # Normal mapping (geometry_pass/fragment.glsl:23-27: n = tex*2-1,
         # TBN*n), with glTF normal_scale on the tangential components.
-        ntex = rows[:, 50].astype(jnp.int32)
-        has_nm = (ntex >= 0)[:, None]
-        nm = sample_bilinear(scene.textures, ntex, uv,
-                             default=0.5)[:, :3] * 2.0 - 1.0
+        nm_meta = meta(2)
+        has_nm = (nm_meta[:, 0] >= 0.0)[:, None]
+        nm = sample_slot(pyramid, nm_meta, uv, lod, default=0.5,
+                         trilinear=trilinear)[:, :3] * 2.0 - 1.0
         scale = rows[:, 46:47]
         nm = jnp.concatenate([nm[:, :2] * scale, nm[:, 2:3]], axis=-1)
         # Sanitize BEFORE normalize: lanes without a normal map carry the
@@ -171,16 +230,15 @@ def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
         # Material parameter fetches (albedo = factor x texture, the
         # reference's `mat.color * texture(colorSampler, uv)` at
         # geometry_pass/fragment.glsl:30, extended with metallic-roughness
-        # per glTF: B=metallic, G=roughness).
-        bc = sample_bilinear(scene.textures, rows[:, 48].astype(jnp.int32),
-                             uv)
+        # per glTF: B=metallic, G=roughness).  Each fetch is 1-2 quad-row
+        # gathers, metadata-free (ops/texture.py).
+        bc = sample_slot(pyramid, meta(0), uv, lod, trilinear=trilinear)
         base_color = rows[:, 36:40] * bc
-        mr = sample_bilinear(scene.textures, rows[:, 49].astype(jnp.int32),
-                             uv)
+        mr = sample_slot(pyramid, meta(1), uv, lod, trilinear=trilinear)
         metallic = rows[:, 40] * mr[:, 2]
         roughness = rows[:, 41] * mr[:, 1]
-        em_tex = sample_bilinear(scene.textures,
-                                 rows[:, 51].astype(jnp.int32), uv)
+        em_tex = sample_slot(pyramid, meta(3), uv, lod,
+                             trilinear=trilinear)
         emissive = rows[:, 42:45] * em_tex[:, :3]
     else:
         # Static texture-free fast path: factors only, zero texture gathers.
@@ -196,4 +254,4 @@ def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
                         roughness=roughness, specular=rows[:, 45])
     return ShadingPoint(pos=pos, ng=ng_o, ns=ns, tang=t, bitang=b, uv=uv,
                         bsdf=params, emissive=emissive, front=front, mat=mat,
-                        pdf_area=rows[:, 52])
+                        pdf_area=rows[:, COL_PDF_AREA])

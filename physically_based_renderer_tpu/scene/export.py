@@ -76,18 +76,15 @@ def export_glb(path: str | Path, g: graph_mod.SceneGraph,
     # --- textures ---------------------------------------------------------
     n_tex = 0
     srgb_slots = set()
-    if textures is not None and np.asarray(textures.data).shape[0] > 0:
+    if textures is not None and textures.num_textures > 0:
         mats_np = materials
         for field in ("base_color_tex", "emissive_tex"):
             srgb_slots.update(
                 int(i) for i in np.asarray(getattr(mats_np, field)) if i >= 0)
-        data = np.asarray(textures.data)
-        sizes = np.asarray(textures.sizes)
         wraps = np.asarray(textures.wrap)
-        n_tex = data.shape[0]
+        n_tex = textures.num_textures
         for i in range(n_tex):
-            h, w = int(sizes[i, 0]), int(sizes[i, 1])
-            tex = data[i, :h, :w]
+            tex = textures.image(i)
             rgb = tex[..., :3]
             if i in srgb_slots:
                 rgb = _linear_to_srgb_np(rgb)

@@ -38,8 +38,10 @@ from pathlib import Path
 import numpy as np
 
 from . import graph as graph_mod
-from .types import (DirectionalLight, EnvMap, Materials, Scene, TextureStack,
-                    WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT, make_scene)
+from .types import (DirectionalLight, EnvMap, FILTER_LINEAR, FILTER_NEAREST,
+                    Materials, MIP_LINEAR, MIP_NEAREST, MIP_NONE, Scene,
+                    TextureStack, WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT,
+                    make_scene)
 
 GLB_MAGIC = 0x46546C67  # 'glTF'
 CHUNK_JSON = 0x4E4F534A
@@ -236,14 +238,15 @@ def _srgb_to_linear_np(c: np.ndarray) -> np.ndarray:
 
 def build_texture_stack(doc: Document, max_dim: int = 2048
                         ) -> tuple[TextureStack, dict[int, int]]:
-    """Decode every glTF *texture* into one padded stack.
+    """Decode every glTF *texture* into one flat texel arena.
 
     Returns (stack, texture_index -> stack slot).  Color-space handling: a
     texture slot is decoded per USE — baseColor/emissive are sRGB, normal/MR
-    are linear — so a texture used in both ways gets two slots.
-    Padding: textures are placed top-left in a common [Hmax, Wmax] canvas;
-    sampling uses the true size from stack.sizes (ops/texture.py), so
-    padding never bleeds.
+    are linear — so a texture used in both ways gets two slots.  Sampler
+    wrapS/wrapT AND minFilter/magFilter map onto the stack's static
+    metadata (the reference builds real vk::Samplers from the same fields,
+    `PbrRenderSystem.cpp:96-121`); each texture keeps its exact size (no
+    pad-to-max canvas).
     """
     textures = doc.json.get("textures", [])
     if not textures:
@@ -265,8 +268,8 @@ def build_texture_stack(doc: Document, max_dim: int = 2048
     # default untagged to linear
     images: dict[int, np.ndarray] = {}
     slots: list[np.ndarray] = []
-    sizes: list[tuple[int, int]] = []
     wraps: list[tuple[int, int]] = []
+    filts: list[tuple[int, int, int]] = []
     mapping: dict[int, int] = {}
 
     def sampler_wrap(tex) -> tuple[int, int]:
@@ -276,6 +279,26 @@ def build_texture_stack(doc: Document, max_dim: int = 2048
         s = doc.json.get("samplers", [])[s_idx]
         return (_WRAP_MAP.get(s.get("wrapS", 10497), WRAP_REPEAT),
                 _WRAP_MAP.get(s.get("wrapT", 10497), WRAP_REPEAT))
+
+    def sampler_filt(tex) -> tuple[int, int, int]:
+        """glTF magFilter/minFilter -> (mag, min_inner, min_mip); undefined
+        filters default to trilinear (the usual runtime choice)."""
+        s_idx = tex.get("sampler")
+        s = (doc.json.get("samplers", [])[s_idx]
+             if s_idx is not None else {})
+        mag = {9728: FILTER_NEAREST, 9729: FILTER_LINEAR}.get(
+            s.get("magFilter"), FILTER_LINEAR)
+        min_map = {  # NEAREST/LINEAR x (none | MIPMAP_NEAREST | _LINEAR)
+            9728: (FILTER_NEAREST, MIP_NONE),
+            9729: (FILTER_LINEAR, MIP_NONE),
+            9984: (FILTER_NEAREST, MIP_NEAREST),
+            9985: (FILTER_LINEAR, MIP_NEAREST),
+            9986: (FILTER_NEAREST, MIP_LINEAR),
+            9987: (FILTER_LINEAR, MIP_LINEAR),
+        }
+        mi, mm = min_map.get(s.get("minFilter"), (FILTER_LINEAR,
+                                                  MIP_LINEAR))
+        return (mag, mi, mm)
 
     for ti, tex in enumerate(textures):
         src = tex.get("source")
@@ -298,19 +321,12 @@ def build_texture_stack(doc: Document, max_dim: int = 2048
             im = np.concatenate([rgb, im[..., 3:4]], axis=-1)
         mapping[ti] = len(slots)
         slots.append(im.astype(np.float32))
-        sizes.append(im.shape[:2])
         wraps.append(sampler_wrap(tex))
+        filts.append(sampler_filt(tex))
 
     if not slots:
         return TextureStack.empty(), {}
-    hmax = max(s[0] for s in sizes)
-    wmax = max(s[1] for s in sizes)
-    data = np.zeros((len(slots), hmax, wmax, 4), np.float32)
-    for i, im in enumerate(slots):
-        data[i, :im.shape[0], :im.shape[1]] = im
-    return TextureStack(data=data,
-                        sizes=np.asarray(sizes, np.int32),
-                        wrap=np.asarray(wraps, np.int32)), mapping
+    return TextureStack.from_images(slots, wrap=wraps, filt=filts), mapping
 
 
 # ---------------------------------------------------------------------------

@@ -288,10 +288,7 @@ def make_helmet_class_scene(rings: int = 224, sectors: int = 224,
     mr[..., 1] = 0.15 + 0.7 * (xx / 255.0)     # roughness ramp
     mr[..., 2] = (yy > 128).astype(np.float32)  # metallic split
     mr[..., 3] = 1.0
-    tex = TextureStack(
-        data=np.stack([albedo, mr]),
-        sizes=np.asarray([[256, 256], [256, 256]], np.int32),
-        wrap=np.zeros((2, 2), np.int32))
+    tex = TextureStack.from_images([albedo, mr])
     m = Materials.default(1)
     m = m.replace(base_color_tex=np.asarray([0], np.int32),
                   metallic_roughness_tex=np.asarray([1], np.int32))

@@ -34,6 +34,16 @@ WRAP_REPEAT = 0
 WRAP_CLAMP = 1
 WRAP_MIRROR = 2
 
+# Texture filters (glTF sampler magFilter/minFilter; the reference creates
+# real vk::Samplers from these — `PbrRenderSystem.cpp:96-121`).  Internal
+# encoding: mag/min_inner 0 = nearest, 1 = linear; min_mip 0 = no mipmaps,
+# 1 = snap to nearest level, 2 = trilinear (lerp two levels).
+FILTER_NEAREST = 0
+FILTER_LINEAR = 1
+MIP_NONE = 0
+MIP_NEAREST = 1
+MIP_LINEAR = 2
+
 
 @struct.dataclass
 class Geometry:
@@ -103,22 +113,78 @@ class Materials:
 
 @struct.dataclass
 class TextureStack:
-    """All scene textures in one padded [N, H, W, 4] array (linear space).
+    """All scene textures as ONE flat texel arena (linear space).
 
     Color textures are sRGB-decoded at ingest; normal/MR maps stay linear —
     matching what the reference's Unorm sampling + shader math produce.
-    Index -1 anywhere means "no texture" and callers substitute 1.0.
+    Texture index -1 anywhere means "no texture"; callers substitute 1.0.
+
+    Layout: `texels[offset(i) : offset(i) + h_i * w_i]` is texture i,
+    row-major (y down, glTF convention), RGBA.  Shapes / wrap modes /
+    filters are STATIC (part of the jit treedef): each texture keeps its
+    exact size — no padding of every texture to a global max — and the
+    sampler (ops/texture.py) specializes per stack.  The texel arena is the
+    single trainable leaf for texture recovery (grad/inverse.py); the
+    render-time mip pyramid + quad packing derive from it inside jit so
+    texture gradients flow through filtering.
+
+    The reference keeps vk::Images + vk::Samplers per texture
+    (`Material.cpp:25-62`, sampler creation `PbrRenderSystem.cpp:96-121`);
+    here image data is the arena and the "sampler object" is the static
+    (wrap, filter) metadata.
     """
 
-    data: jnp.ndarray   # f32[N, H, W, 4]
-    sizes: jnp.ndarray  # i32[N, 2] true (height, width) of each texture
-    wrap: jnp.ndarray   # i32[N, 2] (wrapS, wrapT) WRAP_* enums
+    texels: jnp.ndarray  # f32[R, 4] concatenated row-major texels
+    # Static per-texture metadata (tuples => hashable, part of treedef):
+    shapes: tuple = struct.field(pytree_node=False)   # ((h, w), ...)
+    wrap: tuple = struct.field(pytree_node=False)     # ((wrapS, wrapT), ...)
+    filt: tuple = struct.field(pytree_node=False)     # ((mag, min_inner,
+    #                                                     min_mip), ...)
 
     @classmethod
     def empty(cls) -> "TextureStack":
-        return cls(data=np.ones((1, 1, 1, 4), np.float32),
-                   sizes=np.ones((1, 2), np.int32),
-                   wrap=np.zeros((1, 2), np.int32))
+        return cls(texels=np.ones((1, 4), np.float32),
+                   shapes=((1, 1),), wrap=((WRAP_REPEAT, WRAP_REPEAT),),
+                   filt=((FILTER_LINEAR, FILTER_LINEAR, MIP_NONE),))
+
+    @classmethod
+    def from_images(cls, images, wrap=None, filt=None) -> "TextureStack":
+        """Build from a list of [h, w, 4] float arrays (host, ingest-time).
+
+        wrap: per-texture (wrapS, wrapT) or None => repeat.
+        filt: per-texture (mag, min_inner, min_mip) or None => trilinear
+        (the glTF default when the sampler leaves filters undefined).
+        """
+        images = [np.asarray(im, np.float32) for im in images]
+        if not images:
+            return cls.empty()
+        shapes = tuple((im.shape[0], im.shape[1]) for im in images)
+        n = len(images)
+        wrap = tuple(tuple(w) for w in wrap) if wrap is not None else (
+            ((WRAP_REPEAT, WRAP_REPEAT),) * n)
+        filt = tuple(tuple(f) for f in filt) if filt is not None else (
+            ((FILTER_LINEAR, FILTER_LINEAR, MIP_LINEAR),) * n)
+        texels = np.concatenate([im.reshape(-1, 4) for im in images], axis=0)
+        return cls(texels=texels, shapes=shapes, wrap=wrap, filt=filt)
+
+    @property
+    def num_textures(self) -> int:
+        return len(self.shapes)
+
+    @property
+    def offsets(self) -> tuple:
+        """Static start row of each texture in `texels`."""
+        offs, acc = [], 0
+        for (h, w) in self.shapes:
+            offs.append(acc)
+            acc += h * w
+        return tuple(offs)
+
+    def image(self, i: int) -> np.ndarray:
+        """Host view of texture i as [h, w, 4] (tests / export)."""
+        h, w = self.shapes[i]
+        off = self.offsets[i]
+        return np.asarray(self.texels[off:off + h * w]).reshape(h, w, 4)
 
 
 @struct.dataclass

@@ -256,8 +256,7 @@ def test_glb_roundtrip_with_textures(tmp_path):
     rng = np.random.default_rng(0)
     tex = rng.uniform(0.1, 0.9, (1, 8, 8, 4)).astype(np.float32)
     tex[..., 3] = 1.0
-    stack = TextureStack(data=tex, sizes=np.array([[8, 8]], np.int32),
-                         wrap=np.zeros((1, 2), np.int32))
+    stack = TextureStack.from_images([tex[0]])
     mats = Materials.default(1).replace(
         base_color_tex=np.array([0], np.int32))
     g = graph_mod.SceneGraph()
@@ -273,5 +272,5 @@ def test_glb_roundtrip_with_textures(tmp_path):
     export_glb(out, g, mats, stack)
     scene2, _, _ = G.load(out)
     assert int(scene2.materials.base_color_tex[0]) == 0
-    got = np.asarray(scene2.textures.data)[0, :8, :8, :3]
+    got = scene2.textures.image(0)[..., :3]
     np.testing.assert_allclose(got, tex[0, ..., :3], atol=2e-2)  # 8-bit quant

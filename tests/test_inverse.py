@@ -41,9 +41,7 @@ def _textured_quad_scene(tex_rgb):
     h = w = tex_rgb.shape[0]
     data = np.concatenate([tex_rgb,
                            np.ones((h, w, 1), np.float32)], axis=-1)
-    tex = TextureStack(
-        data=data[None], sizes=np.array([[h, w]], np.int32),
-        wrap=np.zeros((1, 2), np.int32))
+    tex = TextureStack.from_images([data])
     dl = DirectionalLight(direction=np.array([0, 0, -1], np.float32),
                           radiance=np.array([3.0, 3.0, 3.0], np.float32))
     return make_scene(g, m, textures=tex, directional=dl)
@@ -70,7 +68,7 @@ def test_recover_texture_data():
     params, losses = fit(scene0, _cam(), target, params, CFG, steps=60,
                          lr=0.1, seed=1)
     assert losses[-1] < 0.2 * losses[0]
-    rec = np.asarray(params.texture_data)[0, :, :, :3]
+    rec = np.asarray(params.texture_data)[:, :3].reshape(h, h, 3)
     # Left half should have moved decisively toward red, right toward green.
     assert rec[:, : h // 2, 0].mean() > rec[:, : h // 2, 1].mean() + 0.15
     assert rec[:, h // 2:, 1].mean() > rec[:, h // 2:, 0].mean() + 0.15
