@@ -173,4 +173,36 @@ int64_t pbr_build_clusters(const float* positions, int64_t n_verts,
   return c;
 }
 
+// Walker/Vose alias table over a discrete distribution p[n] (sums to ~1).
+// Writes prob[n] (acceptance thresholds) and alias[n].  O(n) with two
+// index stacks — the ingest-time path for multi-megatexel HDR environment
+// maps, where the Python fallback's per-texel loop is a multi-second
+// stall (scene/types.py::_build_alias_table).  Returns 0, or -1 on bad n.
+int64_t pbr_build_alias(const double* p, int64_t n, float* prob,
+                        int32_t* alias) {
+  if (n <= 0) return -1;
+  std::vector<double> scaled(n);
+  for (int64_t i = 0; i < n; ++i) scaled[i] = p[i] * (double)n;
+  std::vector<int32_t> small, large;
+  small.reserve(n);
+  large.reserve(n);
+  for (int64_t i = 0; i < n; ++i) {
+    prob[i] = 1.0f;
+    alias[i] = (int32_t)i;
+    (scaled[i] < 1.0 ? small : large).push_back((int32_t)i);
+  }
+  while (!small.empty() && !large.empty()) {
+    int32_t s = small.back();
+    small.pop_back();
+    int32_t l = large.back();
+    large.pop_back();
+    prob[s] = (float)scaled[s];
+    alias[s] = l;
+    scaled[l] -= 1.0 - scaled[s];
+    (scaled[l] < 1.0 ? small : large).push_back(l);
+  }
+  // Leftovers (float slop) keep prob = 1 (self-alias).
+  return 0;
+}
+
 }  // extern "C"

@@ -13,7 +13,7 @@ Layer map (mirrors SURVEY.md section 7):
     models/      BSDF / light / camera model families    (reference shaders)
     ops/         Pallas + jnp compute kernels            (reference SPIR-V)
     accel/       LBVH build + traversal
-    integrator/  dense + wavefront path tracing          (reference L4 render)
+    integrator/  masked-wavefront path tracing           (reference L4 render)
     grad/        adjoint estimator, inverse rendering
     parallel/    mesh sharding, collectives, multi-host  (new; ref has none)
     utils/       config, logging, profiling, checkpoint

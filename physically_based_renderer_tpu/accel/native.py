@@ -70,6 +70,12 @@ def load_library():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    if hasattr(lib, "pbr_build_alias"):  # older prebuilt .so may lack it
+        lib.pbr_build_alias.restype = ctypes.c_int64
+        lib.pbr_build_alias.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return lib
 
@@ -150,3 +156,23 @@ def build_clusters_fast(positions, indices, k: int = CLUSTER_K
         return build_clusters_native(positions, indices, k)
     from .clusters import build_clusters
     return build_clusters(positions, indices, k)
+
+
+def build_alias_native(p: np.ndarray):
+    """C++ Walker/Vose alias build; None if the library lacks it.
+
+    The ingest path for multi-megatexel env maps (scene/types.py): the
+    Python loop is ~2M iterations for a 2048x1024 HDR."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "pbr_build_alias"):
+        return None
+    p = np.ascontiguousarray(p, np.float64)
+    n = p.size
+    prob = np.empty((n,), np.float32)
+    alias = np.empty((n,), np.int32)
+    rc = lib.pbr_build_alias(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, _fptr(prob),
+        _iptr(alias))
+    if rc != 0:
+        return None
+    return prob, alias

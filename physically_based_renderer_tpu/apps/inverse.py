@@ -52,10 +52,14 @@ def main(argv=None) -> int:
 
     from ..grad.inverse import TrainableParams, apply_params, make_train_step
     from ..integrator.path import RenderConfig, render
+    from ..parallel import distributed
     from ..scene.types import upload_scene
     from ..utils import checkpoint as ckpt_mod
     from ..utils import config as config_mod
     from ..utils.profiling import logger
+
+    # Multi-host bootstrap (no-op single-process; see parallel/distributed).
+    distributed.ensure_initialized()
 
     if args.scene in config_mod.CONFIGS:
         scene, camera = config_mod.build_scene(

@@ -58,8 +58,13 @@ def main(argv=None) -> int:
     from ..core import film as film_mod
     from ..core.camera import Camera
     from ..integrator.path import RenderConfig, render, render_with_stats
+    from ..parallel import distributed
     from ..scene.types import upload_scene
     from ..utils import config as config_mod
+
+    # Multi-host bootstrap (no-op single-process): must precede any device
+    # query so jax.devices() is globally consistent across processes.
+    distributed.ensure_initialized()
 
     if args.scene in config_mod.CONFIGS:
         bc = config_mod.get(args.scene)
@@ -73,8 +78,10 @@ def main(argv=None) -> int:
         except gltf_mod.GltfError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        if scene.geometry.num_tris > 4096:
-            scene = with_clusters(scene)
+        # Same policy as the builtin configs (utils/config.build_scene):
+        # always attach clusters — tiny scenes become one padded cluster,
+        # where the Pallas tracer degenerates to VMEM brute force.
+        scene = with_clusters(scene)
         rcfg = RenderConfig()
 
     overrides = {}

@@ -3,9 +3,12 @@
 The estimator the whole framework is built around (BASELINE.json north
 star): per-bounce loop of {closest hit, shade, NEE + MIS, BSDF sample}, all
 rays advancing in lockstep with masks — the statically-shaped, compiler-
-friendly formulation of a wavefront.  This module is the *dense* integrator
-(every ray slot occupied, no compaction); integrator/wavefront.py adds
-queue compaction for deep bounces and huge batches.
+friendly formulation of a wavefront.  "Compaction" is the per-bounce
+octant re-sort below: dead lanes pack into trailing all-dead blocks that
+the block tracers skip at n_valid=0, which is the static-shape equivalent
+of shrinking the queue (an explicit dynamically-sized queue module was
+tried and removed — XLA's static shapes made it strictly slower than
+sort + skip).
 
 Gradient strategy ("interior term" / detached sampling):
   * radiometric quantities (BSDF value, cosines, emitted radiance, env

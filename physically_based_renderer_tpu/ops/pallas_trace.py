@@ -215,6 +215,13 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
     k = soup.shape[2]
     c = soup.shape[0] - 1
     ch = min(CHUNK, n_u)
+    # Contract: whole chunks only.  Tail slots of a partial chunk would
+    # clamp to (and refetch) the LAST real candidate; if that duplicate won,
+    # the winner decode (flat // k in ops/blocktrace.py) would read past the
+    # block's candidate list.  Callers pad with the sentinel cluster.
+    if n_u % ch != 0:
+        raise ValueError(f"candidate count {n_u} must be a multiple of the "
+                         f"DMA chunk {ch}; pad u_idx with the sentinel")
     if n_valid is None:
         n_valid = jnp.sum(u_idx < c, axis=1).astype(jnp.int32)
     if entry is None:

@@ -338,8 +338,14 @@ def _build_alias_table(p: np.ndarray):
     """Walker/Vose alias table for a discrete distribution p (sums to 1).
 
     Sampling: slot j ~ U{0..M-1}; return j if u < prob[j] else alias[j].
-    Host-side O(M) build (ingest-time; see EnvMap.alias_*).
+    Host-side O(M) build (ingest-time; see EnvMap.alias_*) — native C++
+    when available (a 2048x1024 HDR is ~2M texels; the Python loop below
+    is a multi-second stall at that size), same-algorithm Python fallback.
     """
+    from ..accel.native import build_alias_native
+    native = build_alias_native(p)
+    if native is not None:
+        return native
     p = np.asarray(p, np.float64)
     m = p.size
     scaled = p * m

@@ -57,7 +57,10 @@ def checked_render(scene, camera, key, cfg):
     cpu = jax.devices("cpu")[0]
     scene, camera, key = jax.device_put((scene, camera, key), cpu)
     checked = checkify.checkify(f, errors=checkify.index_checks)
-    err, film = jax.jit(checked, device=cpu)(scene, camera, key)
+    # Inputs are already on CPU; jax.default_device pins compilation there
+    # too (the deprecated jit device= param is gone in newer JAX).
+    with jax.default_device(cpu):
+        err, film = jax.jit(checked)(scene, camera, key)
     err.throw()
     if not bool(jnp.isfinite(film.hdr).all()):
         bad = int(jnp.sum(~jnp.isfinite(film.hdr)))

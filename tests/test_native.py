@@ -68,3 +68,29 @@ def test_native_rejects_bad_indices():
     bad[0, 0] = 10_000  # out of range
     with pytest.raises(ValueError):
         native.build_bvh_native(g.positions, bad)
+
+
+def test_native_alias_table_matches_python():
+    """C++ Walker/Vose build reconstructs the input distribution exactly
+    and agrees (reconstruction-wise) with the Python fallback."""
+    import numpy as np
+    from physically_based_renderer_tpu.accel import native as native_mod
+    from physically_based_renderer_tpu.scene.types import _build_alias_table
+
+    if not native_mod.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    p = rng.random(4096) ** 4  # spiky, exercises the small/large stacks
+    p /= p.sum()
+
+    def reconstruct(prob, alias):
+        rec = prob.astype(np.float64) / p.size
+        np.add.at(rec, alias, (1.0 - prob.astype(np.float64)) / p.size)
+        return rec
+
+    out = native_mod.build_alias_native(p)
+    assert out is not None
+    np.testing.assert_allclose(reconstruct(*out), p, atol=1e-7)
+    prob_py, alias_py = _build_alias_table(p)  # routes to native too
+    np.testing.assert_allclose(reconstruct(prob_py, alias_py), p, atol=1e-7)
