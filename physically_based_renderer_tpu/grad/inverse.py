@@ -18,6 +18,7 @@ structures live by refitting the cluster grid on-device every step
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -123,7 +124,7 @@ def _with_live_accel(scene: Scene, params: TrainableParams) -> Scene:
 
 def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
                     optimizer: optax.GradientTransformation,
-                    mesh=None):
+                    mesh=None, donate: bool = False):
     """Build a jitted train step closed over static config/mesh.
 
     step(params, opt_state, key, target) -> (params, opt_state, loss)
@@ -131,16 +132,22 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
     With `mesh`, uses the explicit-SPMD step (make_train_step_spmd): the
     whole forward+backward runs inside shard_map with a PLACED
     `jax.lax.psum` gradient all-reduce over the mesh axis.
+
+    donate=True donates the incoming params/opt_state buffers to the step
+    (XLA updates them in place — steady-state working set is one copy).
+    The CALLER must then treat the passed values as consumed: `fit` opts in
+    after decoupling its initial params from the scene's own arrays.
     """
     if mesh is not None:
-        return make_train_step_spmd(scene, camera, cfg, optimizer, mesh)
+        return make_train_step_spmd(scene, camera, cfg, optimizer, mesh,
+                                    donate=donate)
 
     def loss_fn(params: TrainableParams, key, target):
         s = _with_live_accel(apply_params(scene, params), params)
         film = render(s, camera, key, cfg)
         return pixel_loss(film.mean(), target)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, key, target):
         loss, grads = jax.value_and_grad(loss_fn)(params, key, target)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -151,7 +158,8 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
 
 
 def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
-                         optimizer: optax.GradientTransformation, mesh):
+                         optimizer: optax.GradientTransformation, mesh,
+                         donate: bool = False):
     """Explicit-SPMD train step: shard_map over the mesh's `tiles` axis.
 
     Per device: render its row band (all spp), local pixel loss, reverse-
@@ -204,7 +212,9 @@ def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
         in_specs=(P(), P(), P(), P(), P(TILE_AXIS, None, None)),
         out_specs=(P(), P(), P()))
 
-    @jax.jit
+    # Donation as in make_train_step: consumed params/opt_state buffers are
+    # reused for the updated ones.
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, key, target):
         return sharded(params, opt_state, scene, key, target)
 
@@ -217,8 +227,12 @@ def fit(scene: Scene, camera: Camera, target: jnp.ndarray,
         callback=None):
     """Run inverse rendering; returns (params, losses)."""
     opt = optax.adam(lr)
+    # Decouple the initial params from the scene's own device buffers
+    # (TrainableParams.from_scene aliases them), then run with donation:
+    # each step consumes the previous params/opt_state allocation.
+    params = jax.tree.map(lambda x: x + 0, params)
     opt_state = opt.init(params)
-    step = make_train_step(scene, camera, cfg, opt, mesh=mesh)
+    step = make_train_step(scene, camera, cfg, opt, mesh=mesh, donate=True)
     key = jax.random.key(seed)
     losses = []
     for i in range(steps):

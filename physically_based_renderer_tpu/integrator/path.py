@@ -67,23 +67,7 @@ class RenderConfig:
     #                               on block coherence (no-op otherwise)
 
 
-def _bucket_sort_perm(key: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
-    """Stable counting-sort permutation for small integer keys [N].
-
-    jnp.argsort on 262k lanes costs ~20 ms on v5e; for <=16 buckets a
-    one-hot cumsum + one scatter build the same stable permutation in ~2 ms.
-    Returns perm such that key[perm] is sorted ascending, stable.
-    """
-    n = key.shape[0]
-    onehot = (key[:, None] == jnp.arange(n_buckets)).astype(jnp.int32)
-    within = jnp.cumsum(onehot, axis=0) - onehot      # exclusive in-bucket
-    counts = jnp.sum(onehot, axis=0)                  # [B]
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    pos = (jnp.sum(within * onehot, axis=1)
-           + offsets[jnp.clip(key, 0, n_buckets - 1)])
-    return jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n,
-                                                             dtype=jnp.int32))
+from ..ops.blocktrace import bucket_sort_perm as _bucket_sort_perm
 
 
 def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
@@ -155,15 +139,19 @@ def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
                                   interpret=jax.default_backend() != "tpu")
     if tracer == "pallas":
         from ..ops.blocktrace import intersect_blocks_pallas
+        # sort=True: shadow directions are light-sampled, not bounce-
+        # coherent — an in-call stable octant sort keeps each block's
+        # bundle sign-coherent (origins stay morton-local).
         return intersect_blocks_pallas(
             scene.clusters, scene.geometry, o, d, t_min=t_min, t_max=t_max,
             any_hit=True, block=cfg.block_size, max_u=cfg.max_u,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", sort=True)
     if tracer == "block":
         from ..ops.blocktrace import intersect_blocks
         return intersect_blocks(scene.clusters, scene.geometry, o, d,
                                 t_min=t_min, t_max=t_max, any_hit=True,
-                                block=cfg.block_size, max_u=cfg.max_u)
+                                block=cfg.block_size, max_u=cfg.max_u,
+                                sort=True)
     if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
         return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min,
@@ -173,9 +161,21 @@ def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
                           chunk=cfg.tri_chunk)
 
 
+def frame_tables(scene: Scene):
+    """Per-frame derived tables (packed tri attrs, emitter rows, texture
+    pyramid) — build ONCE outside the spp scan and pass to trace_radiance
+    so the work isn't repeated every scan iteration."""
+    from ..ops.texture import build_pyramid
+    return (pack_tri_attrs(scene),
+            lights_mod.pack_emitter_attrs(scene) if scene.has_emitters
+            else None,
+            build_pyramid(scene.textures) if scene.has_textures else None)
+
+
 def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                    keys: jax.Array, cfg: RenderConfig,
-                   return_stats: bool = False, cone_angle=None):
+                   return_stats: bool = False, cone_angle=None,
+                   tables=None):
     """Estimate radiance along rays (o, d) [N,3] -> L [N,3].
 
     One sample per ray; callers average over spp.  `keys` is a PER-RAY key
@@ -184,7 +184,8 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     ray-cone mip selection (None => level-0 texture fetches).  With
     return_stats=True also returns the number of ray queries issued by
     ACTIVE lanes (closest-hit + shadow), the honest "rays" numerator for
-    rays/s benchmarks.
+    rays/s benchmarks.  `tables` (frame_tables) amortizes the per-frame
+    packing across spp.
     """
     n = o.shape[0]
     ray_count = jnp.zeros((), jnp.float32)
@@ -192,11 +193,8 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     has_env = scene.env is not None
     # Wide attribute tables packed once per frame; each bounce then does a
     # single fused row fetch (see integrator/shading.py, models/lights.py).
-    tri_attrs = pack_tri_attrs(scene)
-    emitter_attrs = (lights_mod.pack_emitter_attrs(scene) if has_emitters
-                     else None)
-    from ..ops.texture import build_pyramid
-    pyramid = build_pyramid(scene.textures) if scene.has_textures else None
+    tri_attrs, emitter_attrs, pyramid = (tables if tables is not None
+                                         else frame_tables(scene))
     path_dist = jnp.zeros((n,), jnp.float32)   # ray-cone mip selection
 
     L = jnp.zeros((n, 3), jnp.float32)
@@ -325,12 +323,11 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
         # --- coherence re-sort for the next trace ------------------------
         if use_resort:
+            from ..ops.blocktrace import dir_bin
             ds = sg(d)
-            octant = ((ds[:, 0] < 0).astype(jnp.int32) * 4
-                      + (ds[:, 1] < 0).astype(jnp.int32) * 2
-                      + (ds[:, 2] < 0).astype(jnp.int32))
-            sort_key = jnp.where(sg(active), octant, 8)   # dead lanes last
-            perm = _bucket_sort_perm(sort_key, 9)
+            # 24 cone bins (octant x dominant axis); dead lanes last.
+            sort_key = jnp.where(sg(active), dir_bin(ds), 24)
+            perm = _bucket_sort_perm(sort_key, 25)
             o = o[perm]
             d = d[perm]
             L = L[perm]
@@ -384,7 +381,8 @@ def _wants_morton(scene: Scene, cfg: RenderConfig) -> bool:
 
 def _sample_radiance(scene: Scene, camera: Camera, key: jax.Array,
                      cfg: RenderConfig, row_start=0,
-                     n_rows: int | None = None, return_stats: bool = False):
+                     n_rows: int | None = None, return_stats: bool = False,
+                     tables=None):
     """One sample per pixel for a row band -> radiance [n_rows, W, 3].
 
     `key` is the per-sample base key; per-ray keys derive from GLOBAL pixel
@@ -413,7 +411,7 @@ def _sample_radiance(scene: Scene, camera: Camera, key: jax.Array,
     cone_angle = (2.0 * jnp.tan(camera.fov_y * 0.5) / cfg.height
                   if scene.has_textures else None)
     out = trace_radiance(scene, o, d, keys, cfg, return_stats=return_stats,
-                         cone_angle=cone_angle)
+                         cone_angle=cone_angle, tables=tables)
     L, count = out if return_stats else (out, None)
     if _wants_morton(scene, cfg):
         # Unscramble: one static scatter per sample pays for every trace's
@@ -437,9 +435,11 @@ def render(scene: Scene, camera: Camera, key: jax.Array,
     """Render cfg.spp samples, scanning over samples to bound memory."""
     film = Film.zeros(cfg.height, cfg.width)
     keys = jax.random.split(key, cfg.spp)
+    tables = frame_tables(scene)
 
     def body(f, k):
-        return f.add_samples(render_sample(scene, camera, k, cfg)), None
+        return f.add_samples(_sample_radiance(scene, camera, k, cfg,
+                                              tables=tables)), None
 
     film, _ = jax.lax.scan(body, film, keys)
     return film
@@ -489,9 +489,11 @@ def _render_with_stats_dense(scene: Scene, camera: Camera, key: jax.Array,
     """Dense (scan-over-spp) render + ray-query count."""
     film = Film.zeros(cfg.height, cfg.width)
     keys = jax.random.split(key, cfg.spp)
+    tables = frame_tables(scene)
 
     def one(key):
-        return _sample_radiance(scene, camera, key, cfg, return_stats=True)
+        return _sample_radiance(scene, camera, key, cfg, return_stats=True,
+                                tables=tables)
 
     def body(carry, k):
         f, c = carry

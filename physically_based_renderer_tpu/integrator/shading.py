@@ -197,9 +197,10 @@ def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
     t = math3d.normalize(t)
     b = jnp.cross(ns, t) * t4[:, 3:4]
 
-    if scene.has_textures:
+    if scene.tex_slots[2]:
         # Normal mapping (geometry_pass/fragment.glsl:23-27: n = tex*2-1,
         # TBN*n), with glTF normal_scale on the tangential components.
+        # Statically skipped when NO material has a normal map (tex_slots).
         nm_meta = meta(2)
         has_nm = (nm_meta[:, 0] >= 0.0)[:, None]
         nm = sample_slot(pyramid, nm_meta, uv, lod, default=0.5,
@@ -226,25 +227,29 @@ def shade_surface(scene: Scene, hit: Hit, ray_o: jnp.ndarray,
     t = math3d.normalize(t)
     b = jnp.cross(ns, t) * t4[:, 3:4]
 
-    if scene.has_textures:
-        # Material parameter fetches (albedo = factor x texture, the
-        # reference's `mat.color * texture(colorSampler, uv)` at
-        # geometry_pass/fragment.glsl:30, extended with metallic-roughness
-        # per glTF: B=metallic, G=roughness).  Each fetch is 1-2 quad-row
-        # gathers, metadata-free (ops/texture.py).
+    # Material parameter fetches (albedo = factor x texture, the
+    # reference's `mat.color * texture(colorSampler, uv)` at
+    # geometry_pass/fragment.glsl:30, extended with metallic-roughness
+    # per glTF: B=metallic, G=roughness).  Each fetch is 1-2 quad-row
+    # gathers, metadata-free (ops/texture.py) — and each SLOT is skipped
+    # statically when no material in the scene uses it (Scene.tex_slots).
+    if scene.tex_slots[0]:
         bc = sample_slot(pyramid, meta(0), uv, lod, trilinear=trilinear)
         base_color = rows[:, 36:40] * bc
+    else:
+        base_color = rows[:, 36:40]
+    if scene.tex_slots[1]:
         mr = sample_slot(pyramid, meta(1), uv, lod, trilinear=trilinear)
         metallic = rows[:, 40] * mr[:, 2]
         roughness = rows[:, 41] * mr[:, 1]
+    else:
+        metallic = rows[:, 40]
+        roughness = rows[:, 41]
+    if scene.tex_slots[3]:
         em_tex = sample_slot(pyramid, meta(3), uv, lod,
                              trilinear=trilinear)
         emissive = rows[:, 42:45] * em_tex[:, :3]
     else:
-        # Static texture-free fast path: factors only, zero texture gathers.
-        base_color = rows[:, 36:40]
-        metallic = rows[:, 40]
-        roughness = rows[:, 41]
         emissive = rows[:, 42:45]
 
     # One-sided emission: only the geometric front face emits.

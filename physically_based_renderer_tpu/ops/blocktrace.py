@@ -40,6 +40,77 @@ from .intersect import BIG, Hit
 sg = jax.lax.stop_gradient
 
 
+def bucket_sort_perm(key: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
+    """Stable counting-sort permutation for small integer keys [N].
+
+    jnp.argsort on 262k lanes costs ~20 ms on v5e; for <=16 buckets a
+    one-hot cumsum + one scatter build the same stable permutation in ~2 ms.
+    Returns perm such that key[perm] is sorted ascending, stable.
+    """
+    n = key.shape[0]
+    onehot = (key[:, None] == jnp.arange(n_buckets)).astype(jnp.int32)
+    within = jnp.cumsum(onehot, axis=0) - onehot      # exclusive in-bucket
+    counts = jnp.sum(onehot, axis=0)                  # [B]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    pos = (jnp.sum(within * onehot, axis=1)
+           + offsets[jnp.clip(key, 0, n_buckets - 1)])
+    return jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n,
+                                                             dtype=jnp.int32))
+
+
+def _root_cull(grid: "ClusterGrid", o, d, t_min, t_max_arr):
+    """Per-ray slab test against the ROOT AABB (union of cluster boxes).
+
+    Rays that cannot touch the scene get t_max = 0: they become dead lanes
+    that (a) collapse out of every block's bundle bounds, (b) drop out of
+    the kernel's live-lane early exit, and (c) make all-sky blocks skip at
+    n_valid = 0.  Rays that do enter have t_max clipped to the (inflated)
+    box EXIT distance — any legitimate hit lies inside the root box, and a
+    finite t_max lets closest-hit blocks exit as soon as every live lane's
+    best beats the next candidate's entry.  On the 100k-tri helmet ~60% of
+    camera rays and most escaped bounce rays die here for ~30 flops/ray.
+    """
+    lo = jnp.min(grid.aabb_min, axis=0)
+    hi = jnp.max(grid.aabb_max, axis=0)
+    inv = jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), 1e-12)
+    t0 = (lo[None, :] - o) * inv
+    t1 = (hi[None, :] - o) * inv
+    near = jnp.minimum(t0, t1).max(axis=-1)
+    far = jnp.maximum(t0, t1).min(axis=-1)
+    far_inf = far * 1.0001 + 1e-4          # fp-safety inflation
+    hit = (near <= far_inf) & (far_inf >= t_min) & (near <= t_max_arr)
+    return jnp.where(hit, jnp.minimum(t_max_arr, far_inf), 0.0)
+
+
+def dir_bin(d) -> jnp.ndarray:
+    """Direction coherence bin in [0, 24): octant (3 sign bits) x dominant
+    axis.  Within a bin all components share sign AND the same axis
+    dominates, bounding the bundle to a ~54-degree cone — the interval
+    slab test culls an order of magnitude better than with raw 90-degree
+    octants (measured on helmet NEE shadow rays: mean candidate demand
+    48 -> ~8 per block)."""
+    octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
+              + (d[:, 1] < 0).astype(jnp.int32) * 2
+              + (d[:, 2] < 0).astype(jnp.int32))
+    ad = jnp.abs(d)
+    dom = jnp.where(ad[:, 0] >= jnp.maximum(ad[:, 1], ad[:, 2]), 0,
+                    jnp.where(ad[:, 1] >= ad[:, 2], 1, 2))
+    return octant * 3 + dom
+
+
+def _octant_perm(d, t_max_arr):
+    """Stable permutation sorting rays by (dead, direction bin).
+
+    Keeps the caller's position-coherent (morton) order WITHIN each bucket,
+    so blocks get cone-coherent direction bundles without losing origin
+    locality — exactly what the interval slab test feeds on.  Dead lanes
+    (t_max = 0) pack into trailing all-dead blocks the kernel skips.
+    """
+    key = jnp.where(t_max_arr > 0.0, dir_bin(d), 24)
+    return bucket_sort_perm(key, 25)
+
+
 def _interval_slab(amin, amax, o_lo, o_hi, iv_lo, iv_hi, t_min, t_max_hi):
     """Conservative bundle-vs-AABB test.
 
@@ -97,9 +168,10 @@ def _round_up(x, m):
 
 
 @partial(jax.jit, static_argnames=("any_hit", "block", "max_u",
-                                   "t_min_static"))
+                                   "t_min_static", "sort"))
 def _impl(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
-          t_min_static: float, any_hit: bool, block: int, max_u: int):
+          t_min_static: float, any_hit: bool, block: int, max_u: int,
+          sort: bool = False):
     n = o.shape[0]
     t_min = t_min_static
     c = grid.num_clusters
@@ -109,13 +181,18 @@ def _impl(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     v0g, e1g, e2g = cluster_tri_soup(grid, jax.tree.map(sg, geometry))
 
     b = block
+    o_sg, d_sg = sg(o), sg(d)
+    t_max_arr = _root_cull(grid, o_sg, d_sg, t_min,
+                           jnp.asarray(t_max_arr, jnp.float32))
+    if sort:
+        perm = _octant_perm(d_sg, t_max_arr)
+        o_sg, d_sg, t_max_arr = o_sg[perm], d_sg[perm], t_max_arr[perm]
     n_pad = _round_up(n, b)
     pad = n_pad - n
-    o_s = jnp.concatenate([sg(o), jnp.full((pad, 3), 3e30, jnp.float32)])
-    d_s = jnp.concatenate([sg(d), jnp.tile(
+    o_s = jnp.concatenate([o_sg, jnp.full((pad, 3), 3e30, jnp.float32)])
+    d_s = jnp.concatenate([d_sg, jnp.tile(
         jnp.array([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))])
-    tm = jnp.concatenate([jnp.asarray(t_max_arr, jnp.float32),
-                          jnp.zeros((pad,), jnp.float32)])
+    tm = jnp.concatenate([t_max_arr, jnp.zeros((pad,), jnp.float32)])
     nb = n_pad // b
     ob = o_s.reshape(nb, b, 3)
     db = d_s.reshape(nb, b, 3)
@@ -180,7 +257,10 @@ def _impl(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
         u_step, init, jnp.arange(n_uc))
 
     if any_hit:
-        return occ.reshape(n_pad)[:n]
+        occ = occ.reshape(n_pad)[:n]
+        if sort:
+            occ = jnp.zeros((n,), bool).at[perm].set(occ)
+        return occ
 
     # Decode winner: flat = u * K + k within the candidate grid.
     found2 = best_flat >= 0
@@ -188,6 +268,8 @@ def _impl(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     cl_win = jnp.take_along_axis(u_idx, flat // k, axis=1)   # [NB,B]
     tri_win = grid.tri_id[cl_win, flat % k]
     tri = jnp.where(found2, tri_win, -1).reshape(n_pad)[:n]
+    if sort:
+        tri = jnp.full((n,), -1, jnp.int32).at[perm].set(tri)
     # Differentiable finish on the winning triangle.
     safe = jnp.maximum(tri, 0)
     idx = geometry.indices[safe]
@@ -210,13 +292,13 @@ def _impl(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
 
 def intersect_blocks(grid: ClusterGrid, geometry, o, d, t_min: float = 1e-4,
                      t_max=BIG, any_hit: bool = False, block: int = 512,
-                     max_u: int = 48):
+                     max_u: int = 48, sort: bool = False):
     """Closest-hit (Hit) or any-hit (bool[N]) via the block-stream tracer."""
     n = o.shape[0]
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     return _impl(grid, geometry, o, d, t_max_arr,
                  t_min_static=float(t_min), any_hit=any_hit, block=block,
-                 max_u=max_u)
+                 max_u=max_u, sort=sort)
 
 
 def block_union_counts(grid: ClusterGrid, o, d, block: int = 512,
@@ -289,23 +371,32 @@ def pack_soup(grid: ClusterGrid, geometry):
 
 
 @partial(jax.jit, static_argnames=("any_hit", "block", "max_u",
-                                   "t_min_static", "interpret", "lean"))
+                                   "t_min_static", "interpret", "lean",
+                                   "sort", "chunk"))
 def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
                  t_min_static: float, any_hit: bool, block: int,
-                 max_u: int, interpret: bool = False, lean: bool = False):
+                 max_u: int, interpret: bool = False, lean: bool = False,
+                 sort: bool = False, chunk: int = 4):
     from .pallas_trace import trace_blocks_pallas
 
     n = o.shape[0]
     t_min = t_min_static
     k = grid.k
     b = block
+    o_sg, d_sg = sg(o), sg(d)
+    t_max_arr = _root_cull(grid, o_sg, d_sg, t_min,
+                           jnp.asarray(t_max_arr, jnp.float32))
+    if sort:
+        # Direction-scattered streams (NEE shadow rays): stable octant sort
+        # so each block's bundle is sign-coherent; outputs unscramble below.
+        perm = _octant_perm(d_sg, t_max_arr)
+        o_sg, d_sg, t_max_arr = o_sg[perm], d_sg[perm], t_max_arr[perm]
     n_pad = _round_up(n, b)
     pad = n_pad - n
-    o_s = jnp.concatenate([sg(o), jnp.full((pad, 3), 3e30, jnp.float32)])
-    d_s = jnp.concatenate([sg(d), jnp.tile(
+    o_s = jnp.concatenate([o_sg, jnp.full((pad, 3), 3e30, jnp.float32)])
+    d_s = jnp.concatenate([d_sg, jnp.tile(
         jnp.array([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))])
-    tm = jnp.concatenate([jnp.asarray(t_max_arr, jnp.float32),
-                          jnp.zeros((pad,), jnp.float32)])
+    tm = jnp.concatenate([t_max_arr, jnp.zeros((pad,), jnp.float32)])
     nb = n_pad // b
 
     u_idx, u_entry, n_valid, ob, db, tmb = _select_candidates(
@@ -314,9 +405,8 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     # tail slots of a partial chunk; winner decode (flat // k) then needs
     # every slot index < n_u to be addressable, so pad the candidate list
     # to a whole number of chunks with the sentinel cluster.
-    from .pallas_trace import CHUNK
     n_u = u_idx.shape[1]
-    n_u_pad = _round_up(n_u, min(CHUNK, n_u))
+    n_u_pad = _round_up(n_u, min(chunk, n_u))
     if n_u_pad > n_u:
         u_idx = jnp.pad(u_idx, ((0, 0), (0, n_u_pad - n_u)),
                         constant_values=grid.num_clusters)
@@ -332,10 +422,13 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     best_t, best_flat = trace_blocks_pallas(
         u_idx, o_comp, d_comp, tmb, soup, tri_packed,
         t_min=t_min, any_hit=any_hit, interpret=interpret,
-        n_valid=n_valid, entry=u_entry)
+        n_valid=n_valid, entry=u_entry, chunk=chunk)
 
     if any_hit:
-        return (best_flat > 0).reshape(n_pad)[:n]
+        occ = (best_flat > 0).reshape(n_pad)[:n]
+        if sort:
+            occ = jnp.zeros((n,), bool).at[perm].set(occ)
+        return occ
 
     # Winner decode via FLAT 1-D gathers (2-D take_along_axis gathers cost
     # ~5 ms per 262k lanes on v5e; flat-index forms are coherent and cheap).
@@ -348,6 +441,12 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     tri_flat = grid.tri_id.reshape(-1)
     tri = jnp.where(found, tri_flat[cl_win * k + flat % k], -1)
     tri = tri.reshape(n_pad)[:n]
+    t_k = best_t.reshape(n_pad)[:n]
+    if sort:
+        # Back to caller order; the (attached) finish below then uses the
+        # caller's o/d directly.
+        tri = jnp.full((n,), -1, jnp.int32).at[perm].set(tri)
+        t_k = jnp.full((n,), BIG, jnp.float32).at[perm].set(t_k)
     found_n = tri >= 0
 
     if lean:
@@ -355,7 +454,6 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
         # shade_surface from its per-triangle attribute row, so the
         # tracer's own re-intersection would be pure duplicate work
         # (~4 ray-sized gathers per trace).  Kernel t is detached.
-        t_k = best_t.reshape(n_pad)[:n]
         zero = jnp.zeros((n,), jnp.float32)
         return Hit(t=jnp.where(found_n, t_k, BIG), tri=tri, u=zero, v=zero)
 
@@ -383,11 +481,15 @@ def intersect_blocks_pallas(grid: ClusterGrid, geometry, o, d,
                             t_min: float = 1e-4, t_max=BIG,
                             any_hit: bool = False, block: int = 256,
                             max_u: int = 48, interpret: bool = False,
-                            lean: bool = False):
+                            lean: bool = False, sort: bool = False,
+                            chunk: int = 4):
     """Pallas-kernel block tracer (falls back to interpret=True off-TPU).
 
     lean=True returns a detached Hit (kernel t, u = v = 0) for callers that
     re-derive attached intersection data themselves (integrator/shading.py).
+    sort=True stable-sorts rays by direction octant before blocking (and
+    unscrambles outputs) — for direction-scattered streams like NEE shadow
+    rays, whose blocks are otherwise sign-incoherent and cull nothing.
     """
     if not interpret and grid.k % 128 != 0:
         raise ValueError(
@@ -398,4 +500,4 @@ def intersect_blocks_pallas(grid: ClusterGrid, geometry, o, d,
     return _impl_pallas(grid, geometry, o, d, t_max_arr,
                         t_min_static=float(t_min), any_hit=any_hit,
                         block=block, max_u=max_u, interpret=interpret,
-                        lean=lean)
+                        lean=lean, sort=sort, chunk=chunk)

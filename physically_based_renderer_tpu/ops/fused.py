@@ -53,22 +53,45 @@ _SUB = 8          # sublanes per ray block
 _LANES = 512      # lanes per ray block -> 4096 rays per block
 _BLOCK = _SUB * _LANES
 
-# SMEM budget gates (f32 words): tri table T*24, emitter table E*14.
+# SMEM budget gates (f32 words): tri table T*32, emitter table E*14,
+# texture quad table R*16.
 MAX_FUSED_TRIS = 340
 MAX_FUSED_EMITTERS = 32
+MAX_FUSED_TEX_ROWS = 160   # total texels across all textures (quad rows)
 
 # Tri-table columns.
-_TW = 24   # row width
+_TW = 32   # row width
 # 0:3 v0 | 3:6 e1 | 6:9 e2 | 9:12 ng (unit) | 12:15 base_color |
-# 15 metallic | 16 roughness | 17 specular | 18:21 emissive | 21 pdf_area
+# 15 metallic | 16 roughness | 17 specular | 18:21 emissive | 21 pdf_area |
+# 22:24 uv0 | 24:26 uv1 | 26:28 uv2 | 28 material id (texture meta key)
 _EW = 14   # emitter row: 0:3 v0 | 3:6 e1 | 6:9 e2 | 9 pdf_a | 10:13 rad | 13 cdf
+_MW = 6    # per-material texture meta row: bc (off, h, w) | mr (off, h, w)
+
+
+def _fused_tex_ok(scene) -> bool:
+    """Textures the megakernel can keep in SMEM and sample exactly:
+    base_color/metallic-roughness slots only, small (total texel rows within
+    budget), REPEAT wrap, LINEAR filters, no mip chain (MIP_NONE makes the
+    level-0 bilinear fetch the exact sampler semantics)."""
+    if not scene.has_textures:
+        return True
+    from ..scene.types import FILTER_LINEAR, MIP_NONE, WRAP_REPEAT
+    st = scene.textures
+    if scene.tex_slots[2] or scene.tex_slots[3]:
+        return False                       # normal/emissive maps: dense path
+    if sum(h * w for h, w in st.shapes) > MAX_FUSED_TEX_ROWS:
+        return False
+    return all(ws == WRAP_REPEAT and wt == WRAP_REPEAT
+               and mag == FILTER_LINEAR and mi == FILTER_LINEAR
+               and mm == MIP_NONE
+               for (ws, wt), (mag, mi, mm) in zip(st.wrap, st.filt))
 
 
 def fused_applicable(scene, cfg) -> bool:
     """Static check: can this (scene, config) render via the megakernel?"""
     return (scene.geometry.num_tris <= MAX_FUSED_TRIS
             and scene.emitters.num_emitters <= MAX_FUSED_EMITTERS
-            and not scene.has_textures
+            and _fused_tex_ok(scene)
             and scene.flat_normals
             and scene.env is None
             and (scene.has_emitters or scene.has_directional)
@@ -257,10 +280,13 @@ def _onb(n):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _intersect_pass(tri_ref, o, d, t_min, t_max, n_tris, want_attrs):
+def _intersect_pass(tri_ref, o, d, t_min, t_max, n_tris, want_attrs,
+                    want_uv: bool = False):
     """fori over SMEM triangles.  want_attrs=True returns the winner's
     shading attributes (inline 'gather' folded into the winner reduction);
-    False returns only the any-hit occlusion mask."""
+    False returns only the any-hit occlusion mask.  want_uv=True (textured
+    scenes) additionally carries the uv corner columns + material id and
+    the winner's barycentrics: returns (t, attrs[13+7], u, v)."""
     zeros = jnp.zeros_like(o[0])
 
     def mt(t):
@@ -277,34 +303,102 @@ def _intersect_pass(tri_ref, o, d, t_min, t_max, n_tris, want_attrs):
         tt = _dot(e2, q) * inv
         ok = ((jnp.abs(det) > 1e-9) & (u >= 0.0) & (v >= 0.0)
               & (u + v <= 1.0) & (tt > t_min))
-        return tt, ok
+        return tt, ok, u, v
 
     if not want_attrs:
         # f32 0/1 carry: Mosaic cannot carry i1 vectors through scf.for.
         def body_occ(t, occ):
-            tt, ok = mt(t)
+            tt, ok, _, _ = mt(t)
             return jnp.maximum(occ, jnp.where(ok & (tt < t_max), 1.0, 0.0))
         occ_f = jax.lax.fori_loop(0, n_tris, body_occ, zeros)
         return occ_f > 0.5
 
+    n_attr = 13 + (7 if want_uv else 0)
+
     def body(t, c):
-        tb, attrs = c
-        tt, ok = mt(t)
+        tb, attrs, uw, vw = c
+        tt, ok, u, v = mt(t)
         closer = ok & (tt < tb)
         tb = jnp.where(closer, tt, tb)
         attrs = tuple(jnp.where(closer, tri_ref[t, 9 + k], a)
                       for k, a in enumerate(attrs))
-        return tb, attrs
+        if want_uv:
+            uw = jnp.where(closer, u, uw)
+            vw = jnp.where(closer, v, vw)
+        return tb, attrs, uw, vw
 
-    init = (jnp.full_like(o[0], BIG), tuple(zeros for _ in range(13)))
-    return jax.lax.fori_loop(0, n_tris, body, init)
+    init = (jnp.full_like(o[0], BIG), tuple(zeros for _ in range(n_attr)),
+            zeros, zeros)
+    tb, attrs, uw, vw = jax.lax.fori_loop(0, n_tris, body, init)
+    if want_uv:
+        return tb, attrs, uw, vw
+    return tb, attrs
+
+
+def _tex_bilerp(tex_ref, mtex_ref, matf, uvx, uvy, *, n_mats, n_tex_rows):
+    """SMEM texture fetch for the winner lanes: per-material meta gather
+    (loop over M materials) + ONE loop over the quad-row table serving both
+    the base-color and metallic-roughness slots, then bilinear blends.
+
+    Rows are quad-packed like ops/texture.py ([c00|c10|c01|c11] RGBA with
+    the repeat-wrapped +1 neighbors baked in), so one row select per lane
+    gives all four bilinear corners.  Indices are exact small ints in f32
+    (compared as floats — Mosaic-friendly, no int casts).  off < 0 = no
+    texture for that slot."""
+    zeros = jnp.zeros_like(uvx)
+    meta = [zeros - 1.0, zeros + 1.0, zeros + 1.0,
+            zeros - 1.0, zeros + 1.0, zeros + 1.0]
+    for m in range(n_mats):
+        sel = matf == float(m)
+        meta = [jnp.where(sel, mtex_ref[m, k], mv)
+                for k, mv in enumerate(meta)]
+    bco, bch, bcw, mro, mrh, mrw = meta
+
+    def coords(off, h, w):
+        x = uvx * w - 0.5
+        y = uvy * h - 0.5
+        x = x - jnp.floor(x / w) * w          # repeat wrap, continuous
+        y = y - jnp.floor(y / h) * h
+        x0 = jnp.minimum(jnp.floor(x), w - 1.0)
+        y0 = jnp.minimum(jnp.floor(y), h - 1.0)
+        fx = jnp.clip(x - x0, 0.0, 1.0)
+        fy = jnp.clip(y - y0, 0.0, 1.0)
+        return off + y0 * w + x0, fx, fy
+
+    idx_b, fxb, fyb = coords(bco, bch, bcw)
+    idx_m, fxm, fym = coords(mro, mrh, mrw)
+    bc_ch = (0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14)   # rgb x 4 corners
+    mr_ch = (1, 2, 5, 6, 9, 10, 13, 14)                # (G, B) x 4 corners
+    accb = [zeros] * 12
+    accm = [zeros] * 8
+    for r in range(n_tex_rows):
+        rf = float(r)
+        sb = idx_b == rf
+        sm = idx_m == rf
+        accb = [jnp.where(sb, tex_ref[r, c], a)
+                for c, a in zip(bc_ch, accb)]
+        accm = [jnp.where(sm, tex_ref[r, c], a)
+                for c, a in zip(mr_ch, accm)]
+
+    def bilerp(c00, c10, c01, c11, fx, fy):
+        top = c00 * (1.0 - fx) + c10 * fx
+        bot = c01 * (1.0 - fx) + c11 * fx
+        return top * (1.0 - fy) + bot * fy
+
+    bc = tuple(bilerp(accb[k], accb[3 + k], accb[6 + k], accb[9 + k],
+                      fxb, fyb) for k in range(3))
+    mr_g = bilerp(accm[0], accm[2], accm[4], accm[6], fxm, fym)
+    mr_b = bilerp(accm[1], accm[3], accm[5], accm[7], fxm, fym)
+    return bc, bco >= 0.0, mr_g, mr_b, mro >= 0.0
 
 
 def _make_kernel(*, width, height, spp, max_bounces, eps, n_tris, n_em,
-                 n_rays, has_em, has_dir):
+                 n_rays, has_em, has_dir, textured=False, n_mats=1,
+                 n_tex_rows=1):
     n_shadow = (1.0 if has_em else 0.0) + (1.0 if has_dir else 0.0)
 
-    def kernel(cam_ref, seed_ref, tri_ref, em_ref, out_ref):
+    def kernel(cam_ref, seed_ref, tri_ref, em_ref, mtex_ref, tex_ref,
+               out_ref):
         g = pl.program_id(0)
 
         sid = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
@@ -352,13 +446,34 @@ def _make_kernel(*, width, height, spp, max_bounces, eps, n_tris, n_em,
             for bounce in range(max_bounces + 1):
                 cnt = cnt + jnp.where(active, 1.0, 0.0)
                 t_min_b = 0.0 if bounce == 0 else eps
-                tb, attrs = _intersect_pass(tri_ref, o, d, t_min_b, None,
-                                            n_tris, want_attrs=True)
+                if textured:
+                    tb, attrs, uw, vw = _intersect_pass(
+                        tri_ref, o, d, t_min_b, None, n_tris,
+                        want_attrs=True, want_uv=True)
+                else:
+                    tb, attrs = _intersect_pass(tri_ref, o, d, t_min_b,
+                                                None, n_tris,
+                                                want_attrs=True)
                 ng = (attrs[0], attrs[1], attrs[2])
                 bc = (attrs[3], attrs[4], attrs[5])
                 met, rgh, spc = attrs[6], attrs[7], attrs[8]
                 em = (attrs[9], attrs[10], attrs[11])
                 pda = attrs[12]
+
+                if textured:
+                    # factor x texture (glTF): albedo rgb from the
+                    # base-color slot, roughness = G / metallic = B of the
+                    # metallic-roughness slot.
+                    wb = 1.0 - uw - vw
+                    uvx = wb * attrs[13] + uw * attrs[15] + vw * attrs[17]
+                    uvy = wb * attrs[14] + uw * attrs[16] + vw * attrs[18]
+                    bct, has_b, mr_g, mr_b, has_m = _tex_bilerp(
+                        tex_ref, mtex_ref, attrs[19], uvx, uvy,
+                        n_mats=n_mats, n_tex_rows=n_tex_rows)
+                    bc = _where3(has_b, (bc[0] * bct[0], bc[1] * bct[1],
+                                         bc[2] * bct[2]), bc)
+                    rgh = jnp.where(has_m, rgh * mr_g, rgh)
+                    met = jnp.where(has_m, met * mr_b, met)
 
                 active = active & (tb < 0.5 * BIG)
                 pos = _add(o, _scale(d, tb))
@@ -505,7 +620,7 @@ def _make_kernel(*, width, height, spp, max_bounces, eps, n_tris, n_em,
 # ---------------------------------------------------------------------------
 
 def _pack_tri_table(scene) -> jnp.ndarray:
-    """Detached SMEM tri table f32[T, 24] (layout in module docstring)."""
+    """Detached SMEM tri table f32[T, 32] (layout in module docstring)."""
     from ..models.lights import dense_tri_pdf_area
     g = jax.tree.map(jax.lax.stop_gradient, scene.geometry)
     m = jax.tree.map(jax.lax.stop_gradient, scene.materials)
@@ -527,8 +642,45 @@ def _pack_tri_table(scene) -> jnp.ndarray:
         m.specular_factor[tm][:, None],
         m.emissive_factor[tm],
         pda[:, None],
-        jnp.zeros((t, _TW - 22), jnp.float32),
+        g.uvs[i0], g.uvs[i1], g.uvs[i2],
+        tm.astype(jnp.float32)[:, None],
+        jnp.zeros((t, _TW - 29), jnp.float32),
     ], axis=1)
+
+
+def _pack_tex_tables(scene):
+    """SMEM texture tables: per-material meta f32[M, 6] (bc off/h/w,
+    mr off/h/w; off = -1 marks no texture) + level-0 quad rows f32[R, 16]
+    (repeat wrap baked, same layout as ops/texture quad packing)."""
+    from ..scene.types import WRAP_REPEAT
+    from .texture import _quad_pack
+    m = scene.materials
+    n_mats = m.num_materials
+    if not scene.has_textures:
+        return (jnp.full((n_mats, _MW), -1.0, jnp.float32),
+                jnp.zeros((1, 16), jnp.float32))
+    st = scene.textures
+    offs = st.offsets
+    texels = jax.lax.stop_gradient(st.texels)
+    pieces, row_off, acc = [], [], 0
+    for i, (h, w) in enumerate(st.shapes):
+        img = texels[offs[i]:offs[i] + h * w].reshape(h, w, 4)
+        pieces.append(_quad_pack(img, WRAP_REPEAT, WRAP_REPEAT))
+        row_off.append(acc)
+        acc += h * w
+    quads = jnp.concatenate(pieces, axis=0)
+    off_t = jnp.asarray(row_off, jnp.float32)
+    h_t = jnp.asarray([h for h, _ in st.shapes], jnp.float32)
+    w_t = jnp.asarray([w for _, w in st.shapes], jnp.float32)
+
+    def slot(ids):
+        safe = jnp.maximum(ids, 0)
+        rows = jnp.stack([off_t[safe], h_t[safe], w_t[safe]], axis=1)
+        return jnp.where((ids >= 0)[:, None], rows, -1.0)
+
+    mtex = jnp.concatenate([slot(m.base_color_tex),
+                            slot(m.metallic_roughness_tex)], axis=1)
+    return mtex, quads
 
 
 def _pack_em_table(scene) -> jnp.ndarray:
@@ -567,6 +719,7 @@ def render_fused_stats(scene, camera, key, cfg, interpret: bool = False):
     tri = _pack_tri_table(scene)
     em = _pack_em_table(scene)
     cam = _pack_cam(scene, camera, w, h)
+    mtex, tex = _pack_tex_tables(scene)
     seeds = jax.random.key_data(jax.random.fold_in(key, 0x5EED))
     seeds = seeds.reshape(-1)[:2].astype(jnp.int32)
 
@@ -574,7 +727,10 @@ def render_fused_stats(scene, camera, key, cfg, interpret: bool = False):
         width=w, height=h, spp=cfg.spp, max_bounces=cfg.max_bounces,
         eps=float(cfg.ray_eps), n_tris=scene.geometry.num_tris,
         n_em=scene.emitters.num_emitters, n_rays=n,
-        has_em=scene.has_emitters, has_dir=scene.has_directional)
+        has_em=scene.has_emitters, has_dir=scene.has_directional,
+        textured=scene.has_textures,
+        n_mats=scene.materials.num_materials,
+        n_tex_rows=tex.shape[0])
 
     out = pl.pallas_call(
         kernel,
@@ -582,15 +738,17 @@ def render_fused_stats(scene, camera, key, cfg, interpret: bool = False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cam [18]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seeds [2]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri [T, 24]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri [T, 32]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # em [E, 14]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # mtex [M, 6]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tex quads [R, 16]
         ],
         out_specs=pl.BlockSpec((1, 4, _SUB, _LANES),
                                lambda g: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 4, _SUB, _LANES), jnp.float32),
         interpret=interpret,
-    )(cam, seeds, tri, em)
+    )(cam, seeds, tri, em, mtex, tex)
 
     flat = out[:, :3].transpose(0, 2, 3, 1).reshape(-1, 3)[:n]
     hdr = flat.reshape(h, w, 3)

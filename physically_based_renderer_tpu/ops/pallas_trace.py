@@ -190,10 +190,11 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "any_hit",
-                                             "interpret"))
+                                             "interpret", "chunk"))
 def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
                         t_min: float = 1e-4, any_hit: bool = False,
-                        interpret: bool = False, n_valid=None, entry=None):
+                        interpret: bool = False, n_valid=None, entry=None,
+                        chunk: int = CHUNK):
     """Run the kernel.
 
     u_idx   i32[NB, U]     candidate cluster per block (sentinel = C)
@@ -214,7 +215,7 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
     b = o_comp.shape[2]
     k = soup.shape[2]
     c = soup.shape[0] - 1
-    ch = min(CHUNK, n_u)
+    ch = min(chunk, n_u)
     # Contract: whole chunks only.  Tail slots of a partial chunk would
     # clamp to (and refetch) the LAST real candidate; if that duplicate won,
     # the winner decode (flat // k in ops/blocktrace.py) would read past the

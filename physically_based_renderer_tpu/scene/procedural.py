@@ -103,12 +103,22 @@ def _quad(p00, p10, p11, p01):
 
 def make_cornell_box(light_scale: float = 1.0,
                      metallic_tall_block: bool = False,
-                     roughness: float = 1.0) -> Scene:
+                     roughness: float = 1.0,
+                     textured: bool = False) -> Scene:
     """BASELINE config #2/#3: Cornell box with area light (+ optional GGX
-    metallic tall block for the materials config)."""
+    metallic tall block for the materials config).
+
+    textured=True attaches the albedo + roughness textures BASELINE config
+    #3 specifies: a checker albedo map on the white surfaces and a
+    metallic-roughness map (G = roughness ramp) on the GGX block.  Small
+    (8x8, MIP_NONE) so the textures stay SMEM-resident for the fused
+    megakernel (ops/fused.py) while exercising the real bilinear fetch
+    path in both kernels.
+    """
     verts: list = []
     faces: list = []
     mat_ids: list = []
+    uvs: list = []
 
     def add_quad(corners, mat):
         v, f = _quad(*corners)
@@ -116,6 +126,7 @@ def make_cornell_box(light_scale: float = 1.0,
         verts.extend(v)
         faces.extend([[i + base for i in tri] for tri in f])
         mat_ids.extend([mat, mat])
+        uvs.extend([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
 
     # materials: 0 white, 1 red, 2 green, 3 light, 4 blocks
     # floor (y=0, normal +y)
@@ -147,7 +158,8 @@ def make_cornell_box(light_scale: float = 1.0,
     add_box(0.35, 0.35, 0.25, 0.25, 0.6, 0)   # short block, white
     add_box(-0.35, -0.3, 0.25, 0.25, 1.2, 4)  # tall block
 
-    geometry = _geometry_from_arrays(verts, faces, mat_ids)
+    geometry = _geometry_from_arrays(verts, faces, mat_ids,
+                                     uvs=np.asarray(uvs, np.float32))
 
     m = Materials.default(5)
     base = np.ones((5, 4), np.float32)
@@ -170,7 +182,26 @@ def make_cornell_box(light_scale: float = 1.0,
     m = m.replace(base_color_factor=base, emissive_factor=emissive,
                   metallic_factor=metallic, roughness_factor=rough,
                   specular_factor=spec)
-    return make_scene(geometry, m)
+    textures = None
+    if textured:
+        from .types import (FILTER_LINEAR, MIP_NONE, TextureStack,
+                            WRAP_REPEAT)
+        albedo = make_checker_texture(8, 4, (1.0, 1.0, 1.0),
+                                      (0.55, 0.55, 0.55))
+        mr = np.ones((8, 8, 4), np.float32)
+        xx = np.arange(8, dtype=np.float32) / 7.0
+        mr[..., 1] = 0.4 + 0.6 * xx[None, :]   # roughness scale ramp
+        mr[..., 2] = 1.0                       # metallic scale (factor rules)
+        textures = TextureStack.from_images(
+            [albedo, mr],
+            wrap=((WRAP_REPEAT, WRAP_REPEAT),) * 2,
+            filt=((FILTER_LINEAR, FILTER_LINEAR, MIP_NONE),) * 2)
+        bc_tex = np.full((5,), -1, np.int32)
+        mr_tex = np.full((5,), -1, np.int32)
+        bc_tex[0] = 0                          # checker on white surfaces
+        mr_tex[4] = 1                          # roughness ramp on GGX block
+        m = m.replace(base_color_tex=bc_tex, metallic_roughness_tex=mr_tex)
+    return make_scene(geometry, m, textures=textures)
 
 
 def make_furnace_scene(albedo: float = 0.7, env_radiance: float = 1.0,

@@ -271,6 +271,13 @@ class Scene:
     # True iff any material references a texture; False lets shading skip
     # every texture fetch statically (big win for untextured scenes).
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    # Which of the four texture slots (base_color, metallic_roughness,
+    # normal, emissive) ANY material uses.  Static: shading skips the
+    # fetches of entirely-absent slots at trace time — each saves 1-2
+    # ray-sized quad gathers per bounce (a scene with only albedo+MR maps
+    # pays zero for normal/emissive).
+    tex_slots: tuple = struct.field(pytree_node=False,
+                                    default=(False, False, False, False))
     # True iff every vertex normal equals its triangle's face normal
     # (checked at build).  Lets the fused megakernel (ops/fused.py) skip
     # barycentric normal interpolation statically.
@@ -429,6 +436,9 @@ def make_scene(geometry: Geometry, materials: Materials,
     nrm = np.asarray(geometry.normals)
     flat = bool(all(np.allclose(fn, nrm[idx[:, k]], atol=1e-5)
                     for k in range(3)))
+    slots = tuple(bool((np.asarray(t) >= 0).any()) for t in (
+        materials.base_color_tex, materials.metallic_roughness_tex,
+        materials.normal_tex, materials.emissive_tex))
     return Scene(
         geometry=geometry,
         materials=materials,
@@ -438,10 +448,7 @@ def make_scene(geometry: Geometry, materials: Materials,
         env=env,
         has_emitters=has_emitters,
         has_directional=bool(np.asarray(directional.radiance).sum() > 0),
-        has_textures=bool(
-            (np.asarray(materials.base_color_tex) >= 0).any()
-            or (np.asarray(materials.metallic_roughness_tex) >= 0).any()
-            or (np.asarray(materials.normal_tex) >= 0).any()
-            or (np.asarray(materials.emissive_tex) >= 0).any()),
+        has_textures=any(slots),
+        tex_slots=slots,
         flat_normals=flat,
     )

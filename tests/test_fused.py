@@ -107,3 +107,42 @@ def test_non_multiple_block_size(cornell):
     n_rays = 24 * 20 * cfg.spp
     # count <= (bounces+1 + bounces shadows) per camera sample
     assert 0 < float(count) <= n_rays * (2 * cfg.max_bounces + 1)
+
+
+def test_textured_cornell_matches_dense():
+    """BASELINE config #3 scene (GGX block + albedo/roughness textures):
+    the SMEM-texture path of the kernel must agree with the dense
+    integrator's ops/texture.py bilinear fetches statistically."""
+    scene = procedural.make_cornell_box(metallic_tall_block=True,
+                                        roughness=0.25, textured=True)
+    assert scene.has_textures
+    cfg = RenderConfig(width=24, height=24, spp=16, max_bounces=2)
+    assert fused_applicable(scene, cfg)
+    camera = Camera.make(position=(0.0, 1.0, 3.9), target=(0.0, 1.0, 0.0),
+                         fov_y=0.95)
+    hdr, count = render_fused_stats(scene, camera, jax.random.key(0), cfg,
+                                    interpret=True)
+    img_f = np.asarray(hdr) / cfg.spp
+    img_d = np.asarray(render(scene, camera, jax.random.key(0),
+                              cfg).mean())
+    assert np.isfinite(img_f).all()
+    assert abs(img_f.mean() - img_d.mean()) < 0.015
+    np.testing.assert_allclose(img_f.mean(axis=(0, 1)),
+                               img_d.mean(axis=(0, 1)), atol=0.03)
+
+
+def test_textured_gates():
+    """Mip chains / big textures / normal maps keep the dense path."""
+    from physically_based_renderer_tpu.ops.fused import _fused_tex_ok
+    from physically_based_renderer_tpu.scene.types import (
+        FILTER_LINEAR, MIP_LINEAR, MIP_NONE, WRAP_REPEAT)
+    scene = procedural.make_cornell_box(textured=True)
+    assert _fused_tex_ok(scene)
+    # trilinear sampler -> not exactly representable in SMEM level-0 fetch
+    st = scene.textures
+    tril = st.replace(filt=((FILTER_LINEAR, FILTER_LINEAR, MIP_LINEAR),)
+                      * st.num_textures)
+    assert not _fused_tex_ok(scene.replace(textures=tril))
+    # helmet: 256^2 textures blow the SMEM row budget
+    helmet = procedural.make_helmet_class_scene(rings=16, sectors=16)
+    assert not _fused_tex_ok(helmet)
