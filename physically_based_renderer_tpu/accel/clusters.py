@@ -84,37 +84,82 @@ def build_clusters(positions: np.ndarray, indices: np.ndarray,
     return ClusterGrid(aabb_min=amin, aabb_max=amax, tri_id=tri_id)
 
 
-def pack_soup_host(grid: ClusterGrid, positions: np.ndarray,
-                   indices: np.ndarray) -> ClusterGrid:
-    """Attach the packed per-cluster soup (numpy, ingest-time).
-
-    Layout matches ops/blocktrace.pack_soup: soup f32[C+1, 9, K] rows are
-    (v0 xyz, e1 xyz, e2 xyz), tri_packed i32[C+1, 1, K]; padding / the
-    sentinel cluster carry far-away degenerate triangles (tri id -1).
-    """
-    positions = np.asarray(positions, np.float32)
-    indices = np.asarray(indices, np.int32)
-    c, k = grid.num_clusters, grid.k
-    tri_id = np.asarray(grid.tri_id)
-    safe = np.maximum(tri_id, 0)
+def _soup_components(grid: ClusterGrid, positions, indices, xp):
+    """(v0, e1, e2) components [C, 9, K] with degenerate padding; xp is
+    numpy (ingest) or jnp (device refit)."""
+    tri_id = grid.tri_id if xp is jnp else np.asarray(grid.tri_id)
+    safe = xp.maximum(tri_id, 0)
     tri = indices[safe]                                  # [C,K,3]
     v0 = positions[tri[..., 0]]
     v1 = positions[tri[..., 1]]
     v2 = positions[tri[..., 2]]
     pad = (tri_id < 0)[..., None]
-    v0 = np.where(pad, np.float32(2e30), v0)
-    e1 = np.where(pad, 0.0, v1 - v0).astype(np.float32)
-    e2 = np.where(pad, 0.0, v2 - v0).astype(np.float32)
-    comp = np.concatenate([np.moveaxis(v0, -1, 1), np.moveaxis(e1, -1, 1),
-                           np.moveaxis(e2, -1, 1)], axis=1)  # [C,9,K]
-    # Pad component rows 9 -> 16: Mosaic requires VMEM slices to be
-    # 8-sublane aligned, and 16 rows make each cluster's DMA one aligned
-    # rectangle (8 KB vs 4.6 KB — still negligible traffic).
+    v0 = xp.where(pad, xp.float32(2e30), v0)
+    e1 = xp.where(pad, xp.float32(0.0), v1 - v0)
+    e2 = xp.where(pad, xp.float32(0.0), v2 - v0)
+    return xp.concatenate([xp.moveaxis(v0, -1, 1),
+                           xp.moveaxis(e1, -1, 1),
+                           xp.moveaxis(e2, -1, 1)], axis=1)  # [C,9,K]
+
+
+def pack_soup32(grid: ClusterGrid, comp, xp):
+    """K=32 sub-cluster soup: f32[(C+1)*4, 16, 128] lane-group variants.
+
+    Mosaic only DMAs lane-aligned (128) slices, so a 32-tri sub-cluster
+    cannot be copied into an arbitrary 32-lane slot of the chunk buffer.
+    Instead each sub-cluster is stored FOUR times — variant p holds
+    component c at row c, lanes [32p, 32p+32), zeros elsewhere — and the
+    kernel DMAs variant i for chunk position i ([16,128] aligned tiles).
+    Chunk assembly is then 3 vector ADDS per component (zeros don't
+    collide), and every MT lane is a real candidate triangle: ~4x less
+    wasted intersection math than padding 32-tri clusters to 128 lanes.
+    Storage is 4x (32 KB/sub-cluster) — noise next to HBM.
+    """
+    c, k = comp.shape[0], comp.shape[2]
+    assert k == 32
+    comp16 = xp.concatenate(
+        [comp, xp.zeros((c, 7, k), xp.float32)], axis=1)     # [C,16,32]
+    rows = []
+    for p in range(4):
+        padded = xp.concatenate(
+            [xp.zeros((c, 16, 32 * p), xp.float32), comp16,
+             xp.zeros((c, 16, 32 * (3 - p)), xp.float32)],
+            axis=2)                                          # [C,16,128]
+        rows.append(padded)
+    soup = xp.stack(rows, axis=1).reshape(c * 4, 16, 128)
+    sentinel = xp.zeros((4, 16, 128), xp.float32)
+    sentinel = sentinel.at[:, 0, :].set(2e30) if xp is jnp else _np_set0(
+        sentinel)
+    return xp.concatenate([soup, sentinel], axis=0)
+
+
+def _np_set0(a):
+    a[:, 0, :] = 2e30
+    return a
+
+
+def pack_soup_host(grid: ClusterGrid, positions: np.ndarray,
+                   indices: np.ndarray) -> ClusterGrid:
+    """Attach the packed per-cluster soup (numpy, ingest-time).
+
+    K % 128 == 0: soup f32[C+1, 16, K] rows are (v0 xyz, e1 xyz, e2 xyz,
+    zero pad), tri_packed i32[C+1, 1, K]; padding / the sentinel cluster
+    carry far-away degenerate triangles (tri id -1).
+    K == 32: the lane-group variant layout (pack_soup32).
+    """
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32)
+    c, k = grid.num_clusters, grid.k
+    tri_id = np.asarray(grid.tri_id)
+    comp = _soup_components(grid, positions, indices, np)    # [C,9,K]
+    tri_packed = np.concatenate(
+        [tri_id[:, None, :], np.full((1, 1, k), -1, np.int32)], axis=0)
+    if k == 32:
+        return grid.replace(soup=pack_soup32(grid, comp, np),
+                            tri_packed=tri_packed)
     comp = np.concatenate(
         [comp, np.zeros((c, 7, k), np.float32)], axis=1)     # [C,16,K]
     soup = np.concatenate([comp, np.zeros((1, 16, k), np.float32)], axis=0)
-    tri_packed = np.concatenate(
-        [tri_id[:, None, :], np.full((1, 1, k), -1, np.int32)], axis=0)
     return grid.replace(soup=soup, tri_packed=tri_packed)
 
 
@@ -140,12 +185,16 @@ def refit_clusters(grid: ClusterGrid, geometry) -> ClusterGrid:
     amin = jnp.where(pad, big, lo3).min(axis=1)          # [C,3]
     amax = jnp.where(pad, -big, hi3).max(axis=1)
     c, k = grid.num_clusters, grid.k
-    comp = jnp.concatenate([jnp.moveaxis(v0, -1, 1),
-                            jnp.moveaxis(e1, -1, 1),
-                            jnp.moveaxis(e2, -1, 1),
-                            jnp.zeros((c, 7, k), jnp.float32)], axis=1)
-    soup = jnp.concatenate([comp, jnp.zeros((1, 16, k), jnp.float32)],
-                           axis=0)
+    comp9 = jnp.concatenate([jnp.moveaxis(v0, -1, 1),
+                             jnp.moveaxis(e1, -1, 1),
+                             jnp.moveaxis(e2, -1, 1)], axis=1)  # [C,9,K]
+    if k == 32:
+        soup = pack_soup32(grid, comp9, jnp)
+    else:
+        comp = jnp.concatenate(
+            [comp9, jnp.zeros((c, 7, k), jnp.float32)], axis=1)
+        soup = jnp.concatenate([comp, jnp.zeros((1, 16, k), jnp.float32)],
+                               axis=0)
     if grid.soup is None:
         soup = None  # keep the pytree structure stable for jit
     return grid.replace(aabb_min=amin, aabb_max=amax, soup=soup)

@@ -124,7 +124,8 @@ def _with_live_accel(scene: Scene, params: TrainableParams) -> Scene:
 
 def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
                     optimizer: optax.GradientTransformation,
-                    mesh=None, donate: bool = False):
+                    mesh=None, donate: bool = False, edges=None,
+                    edge_samples: int = 1024):
     """Build a jitted train step closed over static config/mesh.
 
     step(params, opt_state, key, target) -> (params, opt_state, loss)
@@ -137,6 +138,11 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
     (XLA updates them in place — steady-state working set is one copy).
     The CALLER must then treat the passed values as consumed: `fit` opts in
     after decoupling its initial params from the scene's own arrays.
+
+    edges (grad.edge.EdgeTable): enables the primary-visibility BOUNDARY
+    gradient for vertex optimization — silhouette edge sampling adds the
+    term the detached-sampling interior estimator cannot carry (a moving
+    silhouette otherwise produces zero gradient).
     """
     if mesh is not None:
         return make_train_step_spmd(scene, camera, cfg, optimizer, mesh,
@@ -144,8 +150,16 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     def loss_fn(params: TrainableParams, key, target):
         s = _with_live_accel(apply_params(scene, params), params)
-        film = render(s, camera, key, cfg)
-        return pixel_loss(film.mean(), target)
+        if edges is None:
+            film = render(s, camera, key, cfg)
+            return pixel_loss(film.mean(), target)
+        from .edge import edge_boundary_loss
+        k_img, k_edge = jax.random.split(key)
+        img = render(s, camera, k_img, cfg).mean()
+        loss = pixel_loss(img, target)
+        dLdI = jax.grad(pixel_loss)(jax.lax.stop_gradient(img), target)
+        return loss + edge_boundary_loss(s, camera, cfg, dLdI, k_edge,
+                                         edges, n_samples=edge_samples)
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, key, target):
@@ -224,7 +238,7 @@ def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
 def fit(scene: Scene, camera: Camera, target: jnp.ndarray,
         params: TrainableParams, cfg: RenderConfig, *, steps: int = 100,
         lr: float = 5e-2, seed: int = 0, mesh=None, log_every: int = 10,
-        callback=None):
+        callback=None, edges=None):
     """Run inverse rendering; returns (params, losses)."""
     opt = optax.adam(lr)
     # Decouple the initial params from the scene's own device buffers
@@ -232,7 +246,8 @@ def fit(scene: Scene, camera: Camera, target: jnp.ndarray,
     # each step consumes the previous params/opt_state allocation.
     params = jax.tree.map(lambda x: x + 0, params)
     opt_state = opt.init(params)
-    step = make_train_step(scene, camera, cfg, opt, mesh=mesh, donate=True)
+    step = make_train_step(scene, camera, cfg, opt, mesh=mesh, donate=True,
+                           edges=edges)
     key = jax.random.key(seed)
     losses = []
     for i in range(steps):

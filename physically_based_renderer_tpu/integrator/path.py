@@ -3,12 +3,14 @@
 The estimator the whole framework is built around (BASELINE.json north
 star): per-bounce loop of {closest hit, shade, NEE + MIS, BSDF sample}, all
 rays advancing in lockstep with masks — the statically-shaped, compiler-
-friendly formulation of a wavefront.  "Compaction" is the per-bounce
-octant re-sort below: dead lanes pack into trailing all-dead blocks that
-the block tracers skip at n_valid=0, which is the static-shape equivalent
-of shrinking the queue (an explicit dynamically-sized queue module was
-tried and removed — XLA's static shapes made it strictly slower than
-sort + skip).
+friendly formulation of a wavefront.  "Compaction" lives INSIDE the block
+tracers (ops/blocktrace.py): every trace call sorts its detached rays by
+(dead, direction bin), so dead lanes pack into trailing all-dead blocks
+skipped at n_valid=0 — the static-shape equivalent of shrinking the queue
+(an explicit dynamically-sized queue module was tried and removed — XLA's
+static shapes made it strictly slower than sort + skip — and so was an
+integrator-level resort that permuted all per-lane state: ~12 ray-sized
+permute gathers per bounce of pure data movement).
 
 Gradient strategy ("interior term" / detached sampling):
   * radiometric quantities (BSDF value, cosines, emitted radiance, env
@@ -62,12 +64,11 @@ class RenderConfig:
     tracer: str = "auto"          # auto|brute|bvh|resident|block|pallas
     block_size: int = 256         # ray block for the block/pallas tracers
     max_u: int = 48               # candidate clusters per block
-    resort: bool = True           # re-sort bounce rays by (dead, direction
-    #                               octant) each bounce: block tracers feed
-    #                               on block coherence (no-op otherwise)
+    resort: bool = True           # in-tracer direction-bin sort for bounce
+    #                               closest-hit calls (block tracers feed on
+    #                               block coherence; no-op otherwise)
 
 
-from ..ops.blocktrace import bucket_sort_perm as _bucket_sort_perm
 
 
 def _power_mis(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
@@ -91,7 +92,7 @@ def _auto_tracer(scene: Scene) -> str:
 
 
 def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig,
-                active=None) -> Hit:
+                active=None, sort: bool = False) -> Hit:
     """Closest-hit dispatch (cfg.tracer: auto|brute|bvh|resident|block|
     pallas).  'auto' = Pallas block tracer on TPU when clusters are
     attached, XLA block tracer elsewhere, brute force for small scenes.
@@ -100,6 +101,12 @@ def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig,
     into t_max=0 rays, which drop out of the bundle bounds AND the kernel's
     live-lane early exit — dead lanes stop dragging whole blocks through
     every candidate cluster.  Dead lanes report miss.
+
+    `sort`: in-tracer direction-bin sort (block tracers): bounce rays are
+    direction-scattered, and sorting INSIDE the trace call moves only the
+    detached o/d/t_max (3 gathers + output unscramble) instead of the
+    whole per-lane integrator state (the old per-bounce resort permuted
+    ~12 ray-sized arrays — measured ~15 ms/bounce of pure data movement).
     """
     tracer = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
     t_max = BIG if active is None else jnp.where(sg(active), BIG, 0.0)
@@ -114,13 +121,13 @@ def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig,
         return intersect_blocks_pallas(
             scene.clusters, scene.geometry, o, d, t_min=t_min, t_max=t_max,
             block=cfg.block_size, max_u=cfg.max_u,
-            interpret=jax.default_backend() != "tpu", lean=True)
+            interpret=jax.default_backend() != "tpu", lean=True, sort=sort)
     if tracer == "block":
         from ..ops.blocktrace import intersect_blocks
         return intersect_blocks(scene.clusters, scene.geometry, o, d,
                                 t_min=t_min, t_max=t_max,
                                 block=cfg.block_size,
-                                max_u=cfg.max_u)
+                                max_u=cfg.max_u, sort=sort)
     if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
         return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min)
@@ -203,21 +210,22 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     # pdf of the *previous* BSDF sampling decision, for MIS of emitter hits.
     prev_pdf = jnp.zeros((n,), jnp.float32)  # 0 => treat as delta (camera)
 
-    # Per-bounce ray re-sort (block tracers only): a stable sort by (dead,
-    # direction octant) packs dead lanes into trailing all-dead blocks
-    # (which the kernel skips at n_valid=0) and gives live blocks sign-
-    # coherent direction bundles, shrinking their candidate-cluster unions.
-    # Per-ray RNG keys ride the permutation, so every pixel's estimate is
-    # invariant to resorting; `order` maps current->original lane.
+    # Per-bounce coherence handling (block tracers only): bounce rays are
+    # BSDF-sampled and direction-scattered, so their closest-hit calls use
+    # the IN-TRACER direction-bin sort (closest_hit sort=True) — only the
+    # detached o/d/t_max move, and outputs come back unscrambled.  (An
+    # integrator-level resort that permuted the whole per-lane state —
+    # L/throughput/keys/etc, ~12 ray-sized arrays — was measured at
+    # ~15 ms/bounce of pure data movement on v5e and removed.)
     tracer_kind = cfg.tracer if cfg.tracer != "auto" else _auto_tracer(scene)
-    use_resort = cfg.resort and tracer_kind in ("block", "pallas")
-    order = jnp.arange(n)
+    use_sort = cfg.resort and tracer_kind in ("block", "pallas")
 
     for bounce in range(cfg.max_bounces + 1):
         ray_count = ray_count + jnp.sum(active.astype(jnp.float32))
         hit = closest_hit(scene, o, d,
                           t_min=0.0 if bounce == 0 else cfg.ray_eps, cfg=cfg,
-                          active=None if bounce == 0 else active)
+                          active=None if bounce == 0 else active,
+                          sort=use_sort and bounce > 0)
         miss = hit.miss
 
         # --- escaped rays: environment ---------------------------------
@@ -321,25 +329,6 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             throughput = throughput / jnp.maximum(q, 1e-6)[:, None]
             active = active & survive
 
-        # --- coherence re-sort for the next trace ------------------------
-        if use_resort:
-            from ..ops.blocktrace import dir_bin
-            ds = sg(d)
-            # 24 cone bins (octant x dominant axis); dead lanes last.
-            sort_key = jnp.where(sg(active), dir_bin(ds), 24)
-            perm = _bucket_sort_perm(sort_key, 25)
-            o = o[perm]
-            d = d[perm]
-            L = L[perm]
-            throughput = throughput[perm]
-            active = active[perm]
-            prev_pdf = prev_pdf[perm]
-            keys = keys[perm]
-            order = order[perm]
-            path_dist = path_dist[perm]
-
-    if use_resort:
-        L = jnp.zeros_like(L).at[order].set(L)
     if return_stats:
         return L, ray_count
     return L

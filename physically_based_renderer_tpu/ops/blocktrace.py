@@ -352,21 +352,26 @@ def _select_candidates(grid, o_s, d_s, tm, nb, b, t_min, max_u):
 
 
 def pack_soup(grid: ClusterGrid, geometry):
-    """Pack detached cluster triangle data for the Pallas kernel:
-    soup f32[C+1, 16, K] (v0xyz, e1xyz, e2xyz rows + 7 zero-pad rows for
-    8-sublane DMA alignment), tri i32[C+1, 1, K]."""
+    """Pack detached cluster triangle data for the Pallas kernel (in-jit
+    fallback when the grid carries no host-packed soup): soup f32[C+1, 16,
+    K] (v0xyz, e1xyz, e2xyz rows + 7 zero-pad rows for 8-sublane DMA
+    alignment) or the k=32 lane-group variant layout, tri i32[C+1, 1, K].
+    """
     v0, e1, e2 = cluster_tri_soup(grid, jax.tree.map(sg, geometry))
     c, k = grid.num_clusters, grid.k
-    comp = jnp.concatenate([jnp.moveaxis(v0, -1, 1),
-                            jnp.moveaxis(e1, -1, 1),
-                            jnp.moveaxis(e2, -1, 1),
-                            jnp.zeros((c, 7, k), jnp.float32)],
-                           axis=1)  # [C,16,K]
-    soup = jnp.concatenate(
-        [comp, jnp.zeros((1, 16, k), jnp.float32)], axis=0)
+    comp9 = jnp.concatenate([jnp.moveaxis(v0, -1, 1),
+                             jnp.moveaxis(e1, -1, 1),
+                             jnp.moveaxis(e2, -1, 1)], axis=1)  # [C,9,K]
     tri = jnp.concatenate(
         [grid.tri_id[:, None, :], jnp.full((1, 1, k), -1, jnp.int32)],
         axis=0)
+    if k == 32:
+        from ..accel.clusters import pack_soup32
+        return pack_soup32(grid, comp9, jnp), tri
+    comp = jnp.concatenate(
+        [comp9, jnp.zeros((c, 7, k), jnp.float32)], axis=1)  # [C,16,K]
+    soup = jnp.concatenate(
+        [comp, jnp.zeros((1, 16, k), jnp.float32)], axis=0)
     return soup, tri
 
 
@@ -405,6 +410,8 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     # tail slots of a partial chunk; winner decode (flat // k) then needs
     # every slot index < n_u to be addressable, so pad the candidate list
     # to a whole number of chunks with the sentinel cluster.
+    if grid.k == 32:
+        chunk = 4              # lane-group layout: 4 sub-clusters per row
     n_u = u_idx.shape[1]
     n_u_pad = _round_up(n_u, min(chunk, n_u))
     if n_u_pad > n_u:
@@ -422,7 +429,7 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     best_t, best_flat = trace_blocks_pallas(
         u_idx, o_comp, d_comp, tmb, soup, tri_packed,
         t_min=t_min, any_hit=any_hit, interpret=interpret,
-        n_valid=n_valid, entry=u_entry, chunk=chunk)
+        n_valid=n_valid, entry=u_entry, chunk=chunk, k=grid.k)
 
     if any_hit:
         occ = (best_flat > 0).reshape(n_pad)[:n]
@@ -491,10 +498,10 @@ def intersect_blocks_pallas(grid: ClusterGrid, geometry, o, d,
     unscrambles outputs) — for direction-scattered streams like NEE shadow
     rays, whose blocks are otherwise sign-incoherent and cull nothing.
     """
-    if not interpret and grid.k % 128 != 0:
+    if not interpret and grid.k != 32 and grid.k % 128 != 0:
         raise ValueError(
-            f"Pallas tracer needs cluster size k % 128 == 0 (VMEM DMA "
-            f"tiling); got k={grid.k}. Build clusters with k=128.")
+            f"Pallas tracer needs cluster size k == 32 (lane-group variant "
+            f"layout) or k % 128 == 0 (VMEM DMA tiling); got k={grid.k}.")
     n = o.shape[0]
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     return _impl_pallas(grid, geometry, o, d, t_max_arr,

@@ -56,11 +56,12 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
                     best_t_out, best_flat_out,
                     soup_buf, soup_sem,
                     *, n_u: int, k: int, ch: int, t_min: float,
-                    any_hit: bool):
+                    any_hit: bool, k32: bool = False):
     g = pl.program_id(0)
     b = ox.shape[2]
     nv = nv_ref[g]
     n_chunks = (nv + ch - 1) // ch
+    nct = n_u // ch           # entry_ref holds one entry per CHUNK
     w = ch * k
 
     # Rays: [1, 1, B] rows -> [B, 1] columns for [B, CH*K] broadcasts.
@@ -75,6 +76,15 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
 
     def dma_soup(slot, i, u):
         cl = u_ref[g * n_u + u]
+        if k32:
+            # K=32 sub-clusters: fetch lane-group VARIANT i (an aligned
+            # [16, 128] tile; see accel/clusters.pack_soup32) into sublane
+            # slot i.  Lane-offset destinations are not DMA-able on TPU,
+            # which is exactly what the 4-variant storage works around.
+            return pltpu.make_async_copy(
+                soup_hbm.at[cl * 4 + i],
+                soup_buf.at[slot, pl.ds(i * 16, 16), :],
+                soup_sem.at[slot, i])
         return pltpu.make_async_copy(
             soup_hbm.at[cl],
             soup_buf.at[slot, :, pl.ds(i * k, k)],
@@ -110,16 +120,27 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
 
         wait_chunk(slot)
 
-        s = soup_buf[slot]               # [9, CH*K]
-        v0x = s[0, :][None, :]           # [1, CH*K]
-        v0y = s[1, :][None, :]
-        v0z = s[2, :][None, :]
-        e1x = s[3, :][None, :]
-        e1y = s[4, :][None, :]
-        e1z = s[5, :][None, :]
-        e2x = s[6, :][None, :]
-        e2y = s[7, :][None, :]
-        e2z = s[8, :][None, :]
+        if k32:
+            # Assemble component rows: variant i is zero outside its
+            # 32-lane group, so the union of the chunk's ch sub-clusters
+            # is a plain SUM of the ch buffered tiles' rows.
+            def row(c):
+                acc = soup_buf[slot, c, :]
+                for i in range(1, ch):
+                    acc = acc + soup_buf[slot, i * 16 + c, :]
+                return acc[None, :]
+        else:
+            def row(c):
+                return soup_buf[slot, c, :][None, :]
+        v0x = row(0)                     # [1, CH*K]
+        v0y = row(1)
+        v0z = row(2)
+        e1x = row(3)
+        e1y = row(4)
+        e1z = row(5)
+        e2x = row(6)
+        e2y = row(7)
+        e2z = row(8)
 
         # Moller-Trumbore, [B, CH*K] lanes.
         px = rdy * e2z - rdz * e2y
@@ -141,9 +162,21 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
         if any_hit:
             occ = jnp.maximum(
                 occ, jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True))
-            # exit once every live lane is occluded
-            rem = jnp.max(jnp.where(live & (occ == 0), 1, 0))
-            return j + 1, best_t, best_flat, occ, 1 - rem
+            # exit once every live lane is occluded, OR once the next
+            # candidate's conservative entry lies beyond every still-
+            # unoccluded lane's t_max (candidates are entry-sorted, so no
+            # later cluster can occlude within range) — the second clause
+            # is what lets sky-lit shadow rays stop at their root-box exit
+            # instead of scanning the whole candidate list.
+            open_ = live & (occ == 0)
+            rem = jnp.max(jnp.where(open_, 1, 0))
+            rem_tmax = jnp.max(jnp.where(open_, rtm, 0.0))
+            nxt_c = jnp.minimum(j + 1, nct - 1)
+            nxt_entry = jnp.where((j + 1) * ch < nv,
+                                  entry_ref[g * nct + nxt_c], BIG)
+            done = jnp.maximum(1 - rem,
+                               (nxt_entry > rem_tmax).astype(jnp.int32))
+            return j + 1, best_t, best_flat, occ, done
         tt = jnp.where(ok, tt, BIG)
         tmin_row = jnp.min(tt, axis=1, keepdims=True)        # [B,1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
@@ -153,11 +186,17 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
         best_t = jnp.where(better, tmin_row, best_t)
         best_flat = jnp.where(better, j * w + kmin, best_flat)
         # exit once no later candidate (sorted by conservative entry) can
-        # beat any live lane's current best hit
-        worst = jnp.max(jnp.where(live, best_t, 0.0))
-        nxt_u = jnp.minimum((j + 1) * ch, n_u - 1)
+        # beat any live lane's current best hit; entry_ref is per-CHUNK
+        # (the entry of each chunk's first = nearest candidate).  Each
+        # lane's relevance is capped by min(best_t, t_max): a lane that
+        # misses everything (best = BIG) still cannot accept hits past its
+        # root-box exit, so it must not hold the block hostage through the
+        # whole candidate list (silhouette-miss lanes were doing exactly
+        # that — 3.5 -> ~2 effective chunks on the helmet camera pass).
+        worst = jnp.max(jnp.where(live, jnp.minimum(best_t, rtm), 0.0))
+        nxt_c = jnp.minimum(j + 1, nct - 1)
         nxt_entry = jnp.where((j + 1) * ch < nv,
-                              entry_ref[g * n_u + nxt_u], BIG)
+                              entry_ref[g * nct + nxt_c], BIG)
         done = (worst <= nxt_entry).astype(jnp.int32)
         return j + 1, best_t, best_flat, occ, done
 
@@ -190,22 +229,27 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "any_hit",
-                                             "interpret", "chunk"))
+                                             "interpret", "chunk", "k"))
 def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
                         t_min: float = 1e-4, any_hit: bool = False,
                         interpret: bool = False, n_valid=None, entry=None,
-                        chunk: int = CHUNK):
+                        chunk: int = CHUNK, k: int | None = None):
     """Run the kernel.
 
     u_idx   i32[NB, U]     candidate cluster per block (sentinel = C)
     o_comp  f32[3, NB, B]  ray origins, component-major
     d_comp  f32[3, NB, B]  ray directions
     t_max   f32[NB, B]
-    soup    f32[C+1, 9, K] packed v0/e1/e2 components per cluster
+    soup    f32[C+1, 16, K] packed v0/e1/e2 component rows per cluster, OR
+            f32[(C+1)*4, 16, 128] lane-group variants when k == 32
+            (accel/clusters.pack_soup32)
     tri_ids i32[C+1, 1, K] unused by the kernel (decode happens in XLA);
                            kept in the signature for call-site symmetry
     n_valid i32[NB]        number of real (non-sentinel) candidates
     entry   f32[NB, U]     conservative nearest entry-t per candidate
+                           (only chunk-start entries are shipped to SMEM)
+    k       cluster capacity; defaults to soup.shape[2] (required for the
+            k=32 variant layout, whose soup rows are 128 lanes wide)
 
     Returns (best_t f32[NB, B], best_flat i32[NB, B]); for any_hit,
     best_flat is the 0/1 occlusion mask.
@@ -213,9 +257,12 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
     del tri_ids
     nb, n_u = u_idx.shape
     b = o_comp.shape[2]
-    k = soup.shape[2]
-    c = soup.shape[0] - 1
-    ch = min(chunk, n_u)
+    if k is None:
+        k = soup.shape[2]
+    k32 = k == 32
+    c = (soup.shape[0] // 4 if k32 else soup.shape[0]) - 1
+    # k=32 packs exactly 4 sub-clusters (lane groups) per chunk row.
+    ch = 4 if k32 else min(chunk, n_u)
     # Contract: whole chunks only.  Tail slots of a partial chunk would
     # clamp to (and refetch) the LAST real candidate; if that duplicate won,
     # the winner decode (flat // k in ops/blocktrace.py) would read past the
@@ -227,9 +274,13 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
         n_valid = jnp.sum(u_idx < c, axis=1).astype(jnp.int32)
     if entry is None:
         entry = jnp.zeros((nb, n_u), jnp.float32)
+    # Ship only each chunk's first (= nearest) candidate entry: the early
+    # exit reads entries at chunk boundaries, and SMEM prefetch space is
+    # the scarce resource at large U.
+    entry_c = entry[:, ::ch]
 
     kernel = functools.partial(_mt_kernel_body, n_u=n_u, k=k, ch=ch,
-                               t_min=t_min, any_hit=any_hit)
+                               t_min=t_min, any_hit=any_hit, k32=k32)
     ray_spec = pl.BlockSpec((1, 1, b), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -248,7 +299,8 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, ch * k), jnp.float32),
+            pltpu.VMEM((2, ch * 16, 128) if k32 else (2, 16, ch * k),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((2, ch)),
         ],
     )
@@ -261,7 +313,7 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
             jax.ShapeDtypeStruct((nb, 1, b), jnp.int32),
         ],
         interpret=interpret,
-    )(u_idx.reshape(-1), n_valid, entry.reshape(-1),
+    )(u_idx.reshape(-1), n_valid, entry_c.reshape(-1),
       r3(o_comp[0]), r3(o_comp[1]), r3(o_comp[2]),
       r3(d_comp[0]), r3(d_comp[1]), r3(d_comp[2]),
       r3(t_max), soup)

@@ -23,6 +23,7 @@ class SceneSpec:
     camera_position: tuple = (0.0, 1.0, 3.9)
     camera_target: tuple = (0.0, 1.0, 0.0)
     fov_y: float = 0.95
+    cluster_k: int | None = None   # None = accel/clusters.CLUSTER_K
     extra: dict = dataclasses.field(default_factory=dict)
 
 
@@ -71,6 +72,10 @@ _register(BenchConfig(
     name="helmet",
     description="config #4: DamagedHelmet-class mesh (~100k tris) with HDR "
                 "environment map, cluster/LBVH traversal",
+    # Measured on v5e (tools/prof_k32.py): k=128 clusters edge out the
+    # k=32 lane-group variant here (9.0 vs 11.9 ms/closest pass) — the
+    # kernel is chunk-iteration-bound and finer candidates double the
+    # chunk count; the k=32 path stays available via SceneSpec.cluster_k.
     render=RenderConfig(width=512, height=512, spp=4, max_bounces=3),
     scene=SceneSpec(builder="helmet", camera_position=(0.0, 0.0, 3.0),
                     camera_target=(0.0, 0.0, 0.0), fov_y=1.0),
@@ -108,13 +113,13 @@ def build_scene(spec: SceneSpec):
     elif b == "gltf":
         from ..scene import gltf as gltf_mod
         scene, _, camera = gltf_mod.load(spec.extra["path"])
-        return with_clusters(scene), camera
+        return with_clusters(scene, k=spec.cluster_k), camera
     else:
         raise ValueError(f"unknown scene builder {b!r}")
     # Always attach the cluster grid: tiny scenes become a single padded
     # cluster and the Pallas tracer degenerates to VMEM-resident brute
     # force, which is exactly right for them.
-    scene = with_clusters(scene)
+    scene = with_clusters(scene, k=spec.cluster_k)
     camera = Camera.make(position=spec.camera_position,
                          target=spec.camera_target, fov_y=spec.fov_y)
     return scene, camera

@@ -138,3 +138,46 @@ def test_bvh_differentiable_wrt_positions():
     fd = (hit_t(jnp.float32(1.0 + eps))
           - hit_t(jnp.float32(1.0 - eps))) / (2 * eps)
     np.testing.assert_allclose(float(grad), float(fd), rtol=1e-2)
+
+
+def test_k32_subcluster_tracer_matches_brute():
+    """K=32 lane-group variant layout (accel/clusters.pack_soup32 +
+    ops/pallas_trace k32 path) agrees with brute force (interpret mode)."""
+    import jax.numpy as jnp
+    from physically_based_renderer_tpu.ops.blocktrace import (
+        intersect_blocks_pallas)
+    from physically_based_renderer_tpu.ops.intersect import (
+        intersect_brute, occluded_brute)
+    from physically_based_renderer_tpu.scene.procedural import make_uv_sphere
+    from physically_based_renderer_tpu.scene.types import (Materials,
+                                                           make_scene,
+                                                           with_clusters)
+
+    g = make_uv_sphere(radius=1.0, rings=20, sectors=20)
+    scene = with_clusters(make_scene(g, Materials.default(1)), k=32)
+    assert scene.clusters.k == 32
+    assert scene.clusters.soup.shape[1:] == (16, 128)   # variant layout
+
+    rng = np.random.default_rng(1)
+    n = 600
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    h = intersect_blocks_pallas(scene.clusters, scene.geometry, o, d,
+                                t_min=1e-4, block=128, max_u=96,
+                                interpret=True)
+    v0, v1, v2 = scene.geometry.tri_vertices()
+    hb = intersect_brute(o, d, v0, v1, v2, t_min=1e-4)
+    t_p, t_b = np.asarray(h.t), np.asarray(hb.t)
+    hit_match = np.isclose(t_p, t_b, rtol=1e-4, atol=1e-5) | (
+        (t_p > 1e29) & (t_b > 1e29))
+    assert hit_match.all()
+    assert (np.asarray(h.tri) == np.asarray(hb.tri)).all()
+
+    occ = intersect_blocks_pallas(scene.clusters, scene.geometry, o, d,
+                                  t_min=1e-4, t_max=3.0, any_hit=True,
+                                  block=128, max_u=96, interpret=True,
+                                  sort=True)
+    ob = occluded_brute(o, d, v0, v1, v2, t_min=1e-4, t_max=3.0)
+    assert (np.asarray(occ) == np.asarray(ob)).all()

@@ -100,9 +100,10 @@ def test_recover_env_data():
 def _ramp_quad_scene(dx):
     """Textured quad translated by dx: a smooth u-ramp texture makes pixel
     color depend on WHERE the quad is (through the attached barycentric
-    re-intersection -> uv), giving a nonzero interior-term vertex gradient
-    (pure translation of a flat-colored surface has only a visibility
-    gradient, which the detached-sampling estimator does not carry)."""
+    re-intersection -> uv), exercising the INTERIOR vertex gradient in
+    isolation.  (Flat-colored pure translation — the visibility-only case —
+    is covered by the silhouette edge-sampling term, grad/edge.py, tested
+    against finite differences in tests/test_edge_grad.py.)"""
     h = 16
     uu = (np.arange(h, dtype=np.float32) + 0.5) / h
     tex = np.stack([np.tile(uu, (h, 1)),                # red ramps with u
