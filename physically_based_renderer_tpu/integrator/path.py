@@ -67,6 +67,11 @@ class RenderConfig:
     resort: bool = True           # in-tracer direction-bin sort for bounce
     #                               closest-hit calls (block tracers feed on
     #                               block coherence; no-op otherwise)
+    exchange_axis: str | None = None  # mesh axis for the ppermute ring
+    #                               ray exchange (parallel/exchange.py);
+    #                               set by render_sample_sharded(
+    #                               exchange=True).  PRIMAL renders only:
+    #                               exchanged rays are detached.
 
 
 
@@ -89,6 +94,17 @@ def _auto_tracer(scene: Scene) -> str:
     if scene.bvh is not None:
         return "bvh"
     return "brute"
+
+
+def _maybe_exchange(tr, o, d, t_max, cfg: RenderConfig):
+    """Route a block-tracer call through the ppermute ring ray exchange
+    when cfg.exchange_axis names a mesh axis (inside shard_map only)."""
+    if cfg.exchange_axis is None:
+        return tr(o, d, t_max)
+    from ..parallel.exchange import with_ring_exchange
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                 (o.shape[0],))
+    return with_ring_exchange(tr, o, d, t_max_arr, cfg.exchange_axis)
 
 
 def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig,
@@ -116,18 +132,27 @@ def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig,
                                   interpret=jax.default_backend() != "tpu")
     if tracer == "pallas":
         from ..ops.blocktrace import intersect_blocks_pallas
+
         # lean: shade_surface re-derives attached (u, v, t); the tracer's
         # own differentiable finish would be duplicate ray-sized gathers.
-        return intersect_blocks_pallas(
-            scene.clusters, scene.geometry, o, d, t_min=t_min, t_max=t_max,
-            block=cfg.block_size, max_u=cfg.max_u,
-            interpret=jax.default_backend() != "tpu", lean=True, sort=sort)
+        def tr(o_, d_, tm_):
+            return intersect_blocks_pallas(
+                scene.clusters, scene.geometry, o_, d_, t_min=t_min,
+                t_max=tm_, block=cfg.block_size, max_u=cfg.max_u,
+                interpret=jax.default_backend() != "tpu", lean=True,
+                sort=sort)
+
+        return _maybe_exchange(tr, o, d, t_max, cfg)
     if tracer == "block":
         from ..ops.blocktrace import intersect_blocks
-        return intersect_blocks(scene.clusters, scene.geometry, o, d,
-                                t_min=t_min, t_max=t_max,
-                                block=cfg.block_size,
-                                max_u=cfg.max_u, sort=sort)
+
+        def tr(o_, d_, tm_):
+            return intersect_blocks(scene.clusters, scene.geometry, o_, d_,
+                                    t_min=t_min, t_max=tm_,
+                                    block=cfg.block_size,
+                                    max_u=cfg.max_u, sort=sort)
+
+        return _maybe_exchange(tr, o, d, t_max, cfg)
     if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
         return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min)
@@ -146,19 +171,28 @@ def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
                                   interpret=jax.default_backend() != "tpu")
     if tracer == "pallas":
         from ..ops.blocktrace import intersect_blocks_pallas
+
         # sort=True: shadow directions are light-sampled, not bounce-
         # coherent — an in-call stable octant sort keeps each block's
         # bundle sign-coherent (origins stay morton-local).
-        return intersect_blocks_pallas(
-            scene.clusters, scene.geometry, o, d, t_min=t_min, t_max=t_max,
-            any_hit=True, block=cfg.block_size, max_u=cfg.max_u,
-            interpret=jax.default_backend() != "tpu", sort=True)
+        def tr(o_, d_, tm_):
+            return intersect_blocks_pallas(
+                scene.clusters, scene.geometry, o_, d_, t_min=t_min,
+                t_max=tm_, any_hit=True, block=cfg.block_size,
+                max_u=cfg.max_u, interpret=jax.default_backend() != "tpu",
+                sort=True)
+
+        return _maybe_exchange(tr, o, d, t_max, cfg)
     if tracer == "block":
         from ..ops.blocktrace import intersect_blocks
-        return intersect_blocks(scene.clusters, scene.geometry, o, d,
-                                t_min=t_min, t_max=t_max, any_hit=True,
-                                block=cfg.block_size, max_u=cfg.max_u,
-                                sort=True)
+
+        def tr(o_, d_, tm_):
+            return intersect_blocks(scene.clusters, scene.geometry, o_, d_,
+                                    t_min=t_min, t_max=tm_, any_hit=True,
+                                    block=cfg.block_size, max_u=cfg.max_u,
+                                    sort=True)
+
+        return _maybe_exchange(tr, o, d, t_max, cfg)
     if tracer == "bvh":
         from ..ops.traverse import intersect_bvh
         return intersect_bvh(scene.bvh, scene.geometry, o, d, t_min=t_min,

@@ -59,14 +59,24 @@ def _check_divisible(height: int, n: int):
 
 
 def render_sample_sharded(scene: Scene, camera: Camera, key: jax.Array,
-                          cfg: RenderConfig, mesh: Mesh) -> jnp.ndarray:
+                          cfg: RenderConfig, mesh: Mesh,
+                          exchange: bool = False) -> jnp.ndarray:
     """One spp over the mesh: each device renders height/n_devices rows.
+
+    exchange=True routes the integrator's block-tracer calls through the
+    ppermute ring ray exchange (parallel/exchange.py): each shard rotates a
+    fixed tail slab of its rays one ring step over ICI, evening live-lane
+    load across tiles of unequal occupancy.  Semantically invisible
+    (results return in caller order; tested against exchange=False).
 
     Returns the full [H, W, 3] radiance (row-sharded across devices).
     """
+    import dataclasses
     n = mesh.devices.size
     _check_divisible(cfg.height, n)
     rows = cfg.height // n
+    if exchange:
+        cfg = dataclasses.replace(cfg, exchange_axis=TILE_AXIS)
 
     def tile_fn(scene, camera, key):
         i = jax.lax.axis_index(TILE_AXIS)

@@ -103,3 +103,28 @@ def test_entry_compiles():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ring_exchange_matches_no_exchange(camera):
+    """SURVEY 2.10 ring-exchange analog: rotating tail ray slabs around
+    the mesh via ppermute (parallel/exchange.py) is semantically invisible
+    — per-ray results come back in caller order and match the plain
+    sharded render."""
+    from physically_based_renderer_tpu.parallel.sharding import (
+        render_sample_sharded)
+    from physically_based_renderer_tpu.scene.types import with_clusters
+
+    scene = with_clusters(make_cornell_box())
+    cfg = RenderConfig(width=16, height=32, spp=1, max_bounces=2,
+                       tracer="block")
+    mesh = make_mesh(jax.devices()[:4])
+    s = replicate_scene(scene, mesh)
+    key = jax.random.key(11)
+
+    import functools
+    run = functools.partial(render_sample_sharded, s, camera, key, cfg,
+                            mesh)
+    plain = np.asarray(jax.jit(lambda: run(exchange=False))())
+    ring = np.asarray(jax.jit(lambda: run(exchange=True))())
+    assert np.isfinite(ring).all()
+    np.testing.assert_allclose(ring, plain, atol=1e-5)
