@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--report", default=None, help="write JSON report")
     p.add_argument("--perturb-scale", type=float, default=0.5)
+    p.add_argument("--edge-gradients", action="store_true",
+                   help="add the primary-visibility boundary term via "
+                        "silhouette edge sampling (grad/edge.py) — "
+                        "required for pure-translation vertex recovery")
     return p
 
 
@@ -119,7 +123,13 @@ def main(argv=None) -> int:
 
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
-    step_fn = make_train_step(scene, camera, cfg, opt, mesh=mesh)
+    edges = None
+    if args.edge_gradients:
+        from ..grad.edge import build_edge_table
+        edges = build_edge_table(scene.geometry.indices)
+        logger.info("edge gradients on: %d mesh edges", edges.num_edges)
+    step_fn = make_train_step(scene, camera, cfg, opt, mesh=mesh,
+                              edges=edges)
 
     start = 0
     if args.resume and args.checkpoint_dir:

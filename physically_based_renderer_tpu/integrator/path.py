@@ -64,6 +64,8 @@ class RenderConfig:
     tracer: str = "auto"          # auto|brute|bvh|resident|block|pallas
     block_size: int = 256         # ray block for the block/pallas tracers
     max_u: int = 48               # candidate clusters per block
+    chunk: int = 4                # candidate clusters DMA'd+tested per
+    #                               kernel loop iteration (pallas tracer)
     resort: bool = True           # in-tracer direction-bin sort for bounce
     #                               closest-hit calls (block tracers feed on
     #                               block coherence; no-op otherwise)
@@ -140,7 +142,7 @@ def closest_hit(scene: Scene, o, d, t_min, cfg: RenderConfig,
                 scene.clusters, scene.geometry, o_, d_, t_min=t_min,
                 t_max=tm_, block=cfg.block_size, max_u=cfg.max_u,
                 interpret=jax.default_backend() != "tpu", lean=True,
-                sort=sort)
+                sort=sort, chunk=cfg.chunk)
 
         return _maybe_exchange(tr, o, d, t_max, cfg)
     if tracer == "block":
@@ -180,7 +182,7 @@ def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
                 scene.clusters, scene.geometry, o_, d_, t_min=t_min,
                 t_max=tm_, any_hit=True, block=cfg.block_size,
                 max_u=cfg.max_u, interpret=jax.default_backend() != "tpu",
-                sort=True)
+                sort=True, chunk=cfg.chunk)
 
         return _maybe_exchange(tr, o, d, t_max, cfg)
     if tracer == "block":

@@ -16,6 +16,21 @@ This module is the new distributed backend the north star requires:
 
 Shard-invariance: per-ray RNG keys derive from GLOBAL pixel ids
 (core/rng.py), so an N-device render is bitwise the single-device render.
+
+SURVEY section 2.10 row map (where each parallelism analog lives):
+  DP (rays/spp)      -> render_sharded / render_sharded_2d (spp axis psum)
+  TP-analog (tiles)  -> render_sample_sharded row sharding
+  PP-analog          -> double-buffered cluster DMA inside the Pallas
+                        tracer (ops/pallas_trace.py) + scan frame batching
+  SP/CP-analog       -> the path-depth loop is sequential by nature
+                        (RR-bounded); its per-lane state never leaves the
+                        device — "queue segments" are the per-bounce trace
+                        calls, already sharded by tiles, with per-call
+                        live-lane compaction inside the tracer
+                        (ops/blocktrace.py sort + n_valid=0 block skip)
+  Ring exchange      -> parallel/exchange.py ppermute slab rotation
+  EP                 -> n/a (no expert-style routing in a renderer)
+  Comm backend       -> parallel/distributed.py (jax.distributed bootstrap)
 """
 
 from __future__ import annotations
