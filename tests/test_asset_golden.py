@@ -110,7 +110,6 @@ def test_ingest_structure(asset):
     assert scene.tex_slots == (True, True, False, False)
     # node transforms baked: sphere centroid at its node translation
     pos = np.asarray(scene.geometry.positions)
-    sphere_pts = pos[:np.asarray(scene.geometry.indices).max() + 1]
     sph = pos[: (12 + 1) * (16 + 1)]
     np.testing.assert_allclose(sph.mean(axis=0), [0, 0.9, 0], atol=0.05)
     assert np.abs(sph - [0, 0.9, 0]).max() <= 0.7 + 1e-3   # scaled radius
