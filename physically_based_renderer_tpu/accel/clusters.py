@@ -127,15 +127,13 @@ def pack_soup32(grid: ClusterGrid, comp, xp):
             axis=2)                                          # [C,16,128]
         rows.append(padded)
     soup = xp.stack(rows, axis=1).reshape(c * 4, 16, 128)
+    # Sentinel = ALL-ZERO tiles: degenerate (det == 0) triangles self-
+    # reject in the kernel.  The sentinel must be zero EVERYWHERE — a
+    # partial final chunk mixes sentinel variants with real clusters in
+    # the same summed assembly, and any nonzero sentinel value would
+    # corrupt the real candidates' lanes.
     sentinel = xp.zeros((4, 16, 128), xp.float32)
-    sentinel = sentinel.at[:, 0, :].set(2e30) if xp is jnp else _np_set0(
-        sentinel)
     return xp.concatenate([soup, sentinel], axis=0)
-
-
-def _np_set0(a):
-    a[:, 0, :] = 2e30
-    return a
 
 
 def pack_soup_host(grid: ClusterGrid, positions: np.ndarray,

@@ -153,7 +153,9 @@ def edge_boundary_loss(scene, camera: Camera, cfg, dLdI: jnp.ndarray,
     k1, k2, k3 = jax.random.split(key, 3)
     u_e = jax.random.uniform(k1, (n_samples,))
     u_t = jax.random.uniform(k2, (n_samples,))
-    e_idx = jnp.sum((cdf[None, :] < u_e[:, None]).astype(jnp.int32), axis=1)
+    # O(K log E) pick — a dense [K, E] compare matrix would be ~150M
+    # elements for a 100k-tri mesh.
+    e_idx = jnp.searchsorted(cdf, u_e, side="left").astype(jnp.int32)
     e_idx = jnp.clip(e_idx, 0, edges.num_edges - 1)
 
     a = va[e_idx]                                     # [K,3] attached
@@ -162,11 +164,8 @@ def edge_boundary_loss(scene, camera: Camera, cfg, dLdI: jnp.ndarray,
     x_e = (1.0 - t3) * a + t3 * b                     # attached 3D point
     sx, sy, sf = _project(camera, x_e, w_img, h_img)  # attached screen pt
 
-    # screen tangent d s / d t' (detached, finite difference along edge)
-    ax2, ay2, _ = _project(camera, sg(a), w_img, h_img)
-    bx2, by2, _ = _project(camera, sg(b), w_img, h_img)
-    # exact tangent of the projective line at t': derivative of
-    # proj((1-t)a + t b); cheap central difference in parameter space.
+    # screen tangent d s / d t' (detached): derivative of
+    # proj((1-t)a + t b) by cheap central difference in parameter space.
     dt = 1e-3
     xp_, yp_, _ = _project(camera, sg((1 - (u_t + dt))[:, None] * a
                                       + (u_t + dt)[:, None] * b),
@@ -209,7 +208,13 @@ def edge_boundary_loss(scene, camera: Camera, cfg, dLdI: jnp.ndarray,
     # pixel units (image = per-pixel mean).
     pick_chord = jnp.maximum(chord[e_idx], 1e-12)
     w_mc = dL_rgb * ds_dt * total / (pick_chord * n_samples)
-    valid = (weight[e_idx] > 0.0) & (sg(sf) > float(camera.znear))
+    # Off-screen samples contribute ZERO (their box-filter value is zero
+    # for every pixel) — clamping them to border pixels would push
+    # vertices based on loss values the edge point does not cover.
+    on_screen = ((sg(sx) >= 0.0) & (sg(sx) < w_img)
+                 & (sg(sy) >= 0.0) & (sg(sy) < h_img))
+    valid = ((weight[e_idx] > 0.0) & (sg(sf) > float(camera.znear))
+             & on_screen)
     w_mc = jnp.where(valid, w_mc, 0.0)
 
     s_n = sx * sg(nx) + sy * sg(ny)                   # attached normal coord

@@ -145,6 +145,12 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
     silhouette otherwise produces zero gradient).
     """
     if mesh is not None:
+        if edges is not None:
+            raise NotImplementedError(
+                "edge (boundary) gradients are not implemented for the "
+                "SPMD train step yet — run without a mesh, or drop "
+                "edges=. Silently ignoring the term would reintroduce "
+                "the zero-visibility-gradient failure it exists to fix.")
         return make_train_step_spmd(scene, camera, cfg, optimizer, mesh,
                                     donate=donate)
 

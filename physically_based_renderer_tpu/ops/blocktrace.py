@@ -412,8 +412,14 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     # to a whole number of chunks with the sentinel cluster.
     if grid.k == 32:
         chunk = 4              # lane-group layout: 4 sub-clusters per row
-    n_u = u_idx.shape[1]
-    n_u_pad = _round_up(n_u, min(chunk, n_u))
+        n_u = u_idx.shape[1]
+        # The k=32 kernel's chunk width is FIXED at 4 sub-clusters (one
+        # 128-lane row), so the candidate list must pad to a multiple of
+        # 4 even when it is shorter than 4 (tiny scenes).
+        n_u_pad = _round_up(n_u, 4)
+    else:
+        n_u = u_idx.shape[1]
+        n_u_pad = _round_up(n_u, min(chunk, n_u))
     if n_u_pad > n_u:
         u_idx = jnp.pad(u_idx, ((0, 0), (0, n_u_pad - n_u)),
                         constant_values=grid.num_clusters)

@@ -54,7 +54,9 @@ _LANES = 512      # lanes per ray block -> 4096 rays per block
 _BLOCK = _SUB * _LANES
 
 # SMEM budget gates (f32 words): tri table T*32, emitter table E*14,
-# texture quad table R*16.
+# texture quad table R*16.  Validated on v5e at the gate: a 340-tri scene
+# WITH both texture slots populated (max tri + tex SMEM footprint
+# simultaneously) compiles and renders (tools-level check, round 4).
 MAX_FUSED_TRIS = 340
 MAX_FUSED_EMITTERS = 32
 MAX_FUSED_TEX_ROWS = 160   # total texels across all textures (quad rows)

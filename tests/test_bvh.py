@@ -181,3 +181,54 @@ def test_k32_subcluster_tracer_matches_brute():
                                   sort=True)
     ob = occluded_brute(o, d, v0, v1, v2, t_min=1e-4, t_max=3.0)
     assert (np.asarray(occ) == np.asarray(ob)).all()
+
+
+def test_k32_partial_final_chunk_and_tiny_scene():
+    """Regressions: (a) a winner lying in a PARTIAL final chunk (real
+    clusters sharing a chunk with sentinel padding) must still be found —
+    the sentinel tiles must be all-zero, or their values corrupt the summed
+    lane-group assembly; (b) scenes with fewer than 4 sub-clusters must
+    pad the candidate list to the fixed chunk width, not crash."""
+    import jax.numpy as jnp
+    from physically_based_renderer_tpu.ops.blocktrace import (
+        intersect_blocks_pallas)
+    from physically_based_renderer_tpu.ops.intersect import intersect_brute
+    from physically_based_renderer_tpu.scene.procedural import (
+        make_random_tris, make_uv_sphere)
+    from physically_based_renderer_tpu.scene.types import (Materials,
+                                                           make_scene,
+                                                           with_clusters)
+
+    # (a) 159 tris -> C32 not a multiple of 4; rays aimed at every tri so
+    # some winner falls in the final partial chunk.
+    # Blocks see PER-BLOCK candidate counts that are rarely multiples of
+    # 4, so real clusters share final chunks with sentinel padding.
+    g = make_random_tris(159, seed=3)
+    scene = with_clusters(make_scene(g, Materials.default(1)), k=32)
+    v0, v1, v2 = scene.geometry.tri_vertices()
+    centers = np.asarray((v0 + v1 + v2) / 3.0)
+    o = jnp.asarray(centers + np.array([0, 0, 5.0], np.float32))
+    d = jnp.asarray(np.tile(np.array([[0, 0, -1.0]], np.float32),
+                            (len(centers), 1)))
+    h = intersect_blocks_pallas(scene.clusters, scene.geometry, o, d,
+                                t_min=1e-4, block=128, max_u=96,
+                                interpret=True)
+    hb = intersect_brute(o, d, v0, v1, v2, t_min=1e-4)
+    t_p, t_b = np.asarray(h.t), np.asarray(hb.t)
+    ok = np.isclose(t_p, t_b, rtol=1e-4, atol=1e-5) | (
+        (t_p > 1e29) & (t_b > 1e29))
+    assert ok.all()
+
+    # (b) tiny scene: 60-tri sphere -> fewer than 4 sub-clusters.
+    g2 = make_uv_sphere(radius=1.0, rings=5, sectors=6)
+    s2 = with_clusters(make_scene(g2, Materials.default(1)), k=32)
+    assert s2.clusters.num_clusters < 4
+    o2 = jnp.asarray(np.array([[0, 0, 3.0]] * 8, np.float32))
+    d2 = jnp.asarray(np.tile(np.array([[0, 0, -1.0]], np.float32), (8, 1)))
+    h2 = intersect_blocks_pallas(s2.clusters, s2.geometry, o2, d2,
+                                 t_min=1e-4, block=8, max_u=96,
+                                 interpret=True)
+    v0b, v1b, v2b = s2.geometry.tri_vertices()
+    hb2 = intersect_brute(o2, d2, v0b, v1b, v2b, t_min=1e-4)
+    np.testing.assert_allclose(np.asarray(h2.t), np.asarray(hb2.t),
+                               rtol=1e-4)

@@ -8,7 +8,9 @@ import time
 import jax, jax.numpy as jnp
 import numpy as np
 from physically_based_renderer_tpu.integrator.path import (
-    closest_hit, occluded, RenderConfig, _bucket_sort_perm)
+    closest_hit, occluded, RenderConfig)
+from physically_based_renderer_tpu.ops.blocktrace import (
+    bucket_sort_perm as _bucket_sort_perm)
 from physically_based_renderer_tpu.ops.blocktrace import _select_candidates
 from physically_based_renderer_tpu.scene.types import upload_scene
 from physically_based_renderer_tpu.utils import config as config_mod
