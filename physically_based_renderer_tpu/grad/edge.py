@@ -141,7 +141,7 @@ def edge_boundary_loss(scene, camera: Camera, cfg, dLdI: jnp.ndarray,
 
     pax, pay, fa = _project(camera, sg(va), w_img, h_img)
     pbx, pby, fb = _project(camera, sg(vb), w_img, h_img)
-    visible = (fa > float(camera.znear)) & (fb > float(camera.znear))
+    visible = (fa > camera.znear) & (fb > camera.znear)
     chord = jnp.sqrt((pbx - pax) ** 2 + (pby - pay) ** 2)
     weight = jnp.where(silhouette & visible, chord, 0.0)      # [E]
 
@@ -213,7 +213,7 @@ def edge_boundary_loss(scene, camera: Camera, cfg, dLdI: jnp.ndarray,
     # vertices based on loss values the edge point does not cover.
     on_screen = ((sg(sx) >= 0.0) & (sg(sx) < w_img)
                  & (sg(sy) >= 0.0) & (sg(sy) < h_img))
-    valid = ((weight[e_idx] > 0.0) & (sg(sf) > float(camera.znear))
+    valid = ((weight[e_idx] > 0.0) & (sg(sf) > camera.znear)
              & on_screen)
     w_mc = jnp.where(valid, w_mc, 0.0)
 

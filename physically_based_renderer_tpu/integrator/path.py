@@ -174,15 +174,17 @@ def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
     if tracer == "pallas":
         from ..ops.blocktrace import intersect_blocks_pallas
 
-        # sort=True: shadow directions are light-sampled, not bounce-
+        # cfg.resort: shadow directions are light-sampled, not bounce-
         # coherent — an in-call stable octant sort keeps each block's
-        # bundle sign-coherent (origins stay morton-local).
+        # bundle sign-coherent (origins stay morton-local).  The knob is
+        # shared with the bounce-ray sort so A/B runs can disable ALL
+        # in-tracer sorting.
         def tr(o_, d_, tm_):
             return intersect_blocks_pallas(
                 scene.clusters, scene.geometry, o_, d_, t_min=t_min,
                 t_max=tm_, any_hit=True, block=cfg.block_size,
                 max_u=cfg.max_u, interpret=jax.default_backend() != "tpu",
-                sort=True, chunk=cfg.chunk)
+                sort=cfg.resort, chunk=cfg.chunk)
 
         return _maybe_exchange(tr, o, d, t_max, cfg)
     if tracer == "block":
@@ -192,7 +194,7 @@ def occluded(scene: Scene, o, d, t_min, t_max, cfg: RenderConfig):
             return intersect_blocks(scene.clusters, scene.geometry, o_, d_,
                                     t_min=t_min, t_max=tm_, any_hit=True,
                                     block=cfg.block_size, max_u=cfg.max_u,
-                                    sort=True)
+                                    sort=cfg.resort)
 
         return _maybe_exchange(tr, o, d, t_max, cfg)
     if tracer == "bvh":

@@ -43,9 +43,12 @@ sg = jax.lax.stop_gradient
 def bucket_sort_perm(key: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
     """Stable counting-sort permutation for small integer keys [N].
 
-    jnp.argsort on 262k lanes costs ~20 ms on v5e; for <=16 buckets a
-    one-hot cumsum + one scatter build the same stable permutation in ~2 ms.
-    Returns perm such that key[perm] is sorted ascending, stable.
+    jnp.argsort on 262k lanes costs ~20 ms on v5e; for a few tens of
+    buckets a one-hot cumsum + one scatter build the same stable
+    permutation far cheaper (measured ~2 ms at 16 buckets / 262k lanes;
+    the [N, n_buckets] one-hot + cumsum scales linearly in bucket count,
+    so the 25-bucket caller `_octant_perm` pays ~1.5x that — still ~7x
+    under argsort).  Returns perm with key[perm] sorted ascending, stable.
     """
     n = key.shape[0]
     onehot = (key[:, None] == jnp.arange(n_buckets)).astype(jnp.int32)
