@@ -167,13 +167,21 @@ def _bench_scaling(sizes=(1, 2, 4, 8), spp=4, side=256, steps=3):
     return out
 
 
+# Round-4 reference numbers (BENCH_r04.json) guarded by --check-regression:
+# megakernel-v2 work must not silently tax the small-scene fused path.
+_R04_FLOOR = {"cornell": 287.9e6, "cornell_ggx": 187.8e6}
+_REGRESSION_TOL = 0.10
+
+
 def main():
     if "--scaling" in sys.argv:
         print(json.dumps(_bench_scaling()))
         return
+    check = "--check-regression" in sys.argv
     results = {}
     for name, iters in (("triangle", 5), ("cornell", 5),
-                        ("cornell_ggx", 5), ("helmet", 3)):
+                        ("cornell_ggx", 5), ("cornell_tex256", 5),
+                        ("helmet", 3)):
         results[name] = _bench_config(name, iters)
 
     headline = results["cornell"]
@@ -184,6 +192,16 @@ def main():
         "vs_baseline": headline / 200e6,
         "configs": results,
     }))
+    if check:
+        bad = [(k, results[k], floor) for k, floor in _R04_FLOOR.items()
+               if results.get(k, 0.0) < floor * (1.0 - _REGRESSION_TOL)]
+        if bad:
+            for k, got, floor in bad:
+                print(f"REGRESSION {k}: {got/1e6:.1f}M < "
+                      f"{floor*(1-_REGRESSION_TOL)/1e6:.1f}M "
+                      f"(r04 {floor/1e6:.1f}M - {_REGRESSION_TOL:.0%})",
+                      file=sys.stderr)
+            sys.exit(1)
 
 
 if __name__ == "__main__":

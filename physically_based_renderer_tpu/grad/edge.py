@@ -123,7 +123,9 @@ def edge_boundary_loss(scene, camera: Camera, cfg, dLdI: jnp.ndarray,
     vb = p[edges.verts[:, 1]]
 
     # --- silhouette classification (detached) ---------------------------
-    idx = g.indices
+    # jnp-coerce: host scenes carry numpy indices, and inside a jitted
+    # step the edge/face ids below are tracers (numpy[tracer] raises).
+    idx = jnp.asarray(g.indices)
     f0 = jnp.maximum(edges.faces[:, 0], 0)
     f1 = jnp.maximum(edges.faces[:, 1], 0)
 

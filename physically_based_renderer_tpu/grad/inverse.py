@@ -145,14 +145,9 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
     silhouette otherwise produces zero gradient).
     """
     if mesh is not None:
-        if edges is not None:
-            raise NotImplementedError(
-                "edge (boundary) gradients are not implemented for the "
-                "SPMD train step yet — run without a mesh, or drop "
-                "edges=. Silently ignoring the term would reintroduce "
-                "the zero-visibility-gradient failure it exists to fix.")
         return make_train_step_spmd(scene, camera, cfg, optimizer, mesh,
-                                    donate=donate)
+                                    donate=donate, edges=edges,
+                                    edge_samples=edge_samples)
 
     def loss_fn(params: TrainableParams, key, target):
         s = _with_live_accel(apply_params(scene, params), params)
@@ -179,7 +174,8 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
 
 def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
                          optimizer: optax.GradientTransformation, mesh,
-                         donate: bool = False):
+                         donate: bool = False, edges=None,
+                         edge_samples: int = 1024):
     """Explicit-SPMD train step: shard_map over the mesh's `tiles` axis.
 
     Per device: render its row band (all spp), local pixel loss, reverse-
@@ -188,6 +184,15 @@ def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
     ICI; BASELINE north star), identical replicated optimizer update on
     every device.  Nothing is left to GSPMD propagation: in_specs place the
     target rows on the axis, out_specs keep params/opt_state replicated.
+
+    With `edges` (BASELINE config #5 "multi-host sharded tiles" + vertex
+    recovery): the silhouette boundary term is SHARDED over the mesh axis
+    too — each device draws an independent edge_samples//n batch (key
+    folded with its axis index), looks its screen points up in the FULL
+    image-loss gradient assembled by one placed `jax.lax.all_gather` of
+    the per-band dLdI, and the boundary gradient rides the same psum as
+    the interior gradients.  psum/n of n independent unbiased estimates is
+    the single-device estimator with the same total sample count.
 
     step(params, opt_state, key, target[H,W,3]) -> (params, opt_state, loss)
     """
@@ -201,8 +206,7 @@ def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
     _check_divisible(cfg.height, n)
     rows = cfg.height // n
 
-    def local_loss(params, scene, key, target_band):
-        i = jax.lax.axis_index(TILE_AXIS)
+    def render_band(params, scene, key, i):
         s = _with_live_accel(apply_params(scene, params), params)
         keys = jax.random.split(key, cfg.spp)
 
@@ -214,10 +218,43 @@ def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
         init = jax.lax.pcast(jnp.zeros((rows, cfg.width, 3), jnp.float32),
                              TILE_AXIS, to="varying")
         hdr, _ = jax.lax.scan(body, init, keys)
-        return pixel_loss(hdr / cfg.spp, target_band)
+        return hdr / cfg.spp
+
+    def local_loss(params, scene, key, target_band):
+        i = jax.lax.axis_index(TILE_AXIS)
+        if edges is None:
+            return pixel_loss(render_band(params, scene, key, i),
+                              target_band)
+        from .edge import edge_boundary_loss
+        k_img, k_edge = jax.random.split(key)
+        band = render_band(params, scene, k_img, i)
+        loss = pixel_loss(band, target_band)
+        # Full-image loss gradient for the edge term's pixel lookups: the
+        # global loss is the mean of band losses, so each band's dLdI
+        # scales by 1/n; ONE placed all_gather assembles [H, W, 3].
+        dband = jax.grad(pixel_loss)(jax.lax.stop_gradient(band),
+                                     target_band) / n
+        dLdI = jax.lax.all_gather(dband, TILE_AXIS).reshape(
+            cfg.height, cfg.width, 3)
+        s = _with_live_accel(apply_params(scene, params), params)
+        k_shard = jax.random.fold_in(k_edge, i)
+        return loss + edge_boundary_loss(
+            s, camera, cfg, dLdI, k_shard, edges,
+            n_samples=max(edge_samples // n, 1))
 
     def shard_step(params, opt_state, scene, key, target):
-        loss, grads = jax.value_and_grad(local_loss)(params, scene, key,
+        # pcast the differentiated params to VARYING before value_and_grad:
+        # shard_map's autodiff inserts an implicit psum into the backward
+        # for replicated inputs (each shard's grad silently becomes the
+        # cross-shard SUM), which stacked an n x scaling on top of the
+        # explicit all-reduce below — a real bug the r4 parity test's
+        # tolerance masked (mesh gradient measured at exactly n x the
+        # single-device one).  With varying params the per-shard grads
+        # stay local and the ONE placed psum below is the gradient
+        # all-reduce riding ICI.
+        params_v = jax.tree.map(
+            lambda x: jax.lax.pcast(x, TILE_AXIS, to="varying"), params)
+        loss, grads = jax.value_and_grad(local_loss)(params_v, scene, key,
                                                      target)
         # The gradient all-reduce, explicitly placed (mean of band losses).
         grads = jax.tree.map(

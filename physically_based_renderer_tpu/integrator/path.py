@@ -327,7 +327,7 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             if has_emitters:
                 ls = lights_mod.sample_area_emitters(
                     scene, sg(sp.pos), u[:, 0], u[:, 1:3],
-                    emitter_attrs=emitter_attrs)
+                    emitter_attrs=emitter_attrs, pyramid=pyramid)
                 L = L + _nee_contrib(scene, sp, wo, d, ls, throughput,
                                      active, o_next_base, cfg, mis=cfg.mis)
             if has_env:

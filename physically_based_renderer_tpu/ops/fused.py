@@ -690,7 +690,10 @@ def _pack_em_table(scene) -> jnp.ndarray:
     from ..models.lights import pack_emitter_attrs
     if not scene.has_emitters:
         return jnp.zeros((1, _EW), jnp.float32)
-    attrs = jax.lax.stop_gradient(pack_emitter_attrs(scene))   # [E, 13]
+    # First 13 columns (v0|e1|e2|pdf_a|radiance); the uv/emissive-texture
+    # tail is irrelevant here — _fused_tex_ok rejects emissive-textured
+    # scenes (they render on the dense path).
+    attrs = jax.lax.stop_gradient(pack_emitter_attrs(scene))[:, :13]
     cdf = jax.lax.stop_gradient(scene.emitters.cdf)[:, None]
     return jnp.concatenate([attrs, cdf], axis=1)
 

@@ -104,16 +104,18 @@ def _quad(p00, p10, p11, p01):
 def make_cornell_box(light_scale: float = 1.0,
                      metallic_tall_block: bool = False,
                      roughness: float = 1.0,
-                     textured: bool = False) -> Scene:
+                     textured: bool = False,
+                     tex_size: int = 8) -> Scene:
     """BASELINE config #2/#3: Cornell box with area light (+ optional GGX
     metallic tall block for the materials config).
 
     textured=True attaches the albedo + roughness textures BASELINE config
     #3 specifies: a checker albedo map on the white surfaces and a
-    metallic-roughness map (G = roughness ramp) on the GGX block.  Small
-    (8x8, MIP_NONE) so the textures stay SMEM-resident for the fused
-    megakernel (ops/fused.py) while exercising the real bilinear fetch
-    path in both kernels.
+    metallic-roughness map (G = roughness ramp) on the GGX block.  At the
+    default tex_size=8 (MIP_NONE) the textures stay SMEM-resident for the
+    fused megakernel (ops/fused.py) while exercising the real bilinear
+    fetch path in both kernels; tex_size=256 is the realistic-texture tier
+    (VMEM-indexed fetches in the megakernel, `cornell_tex256` config).
     """
     verts: list = []
     faces: list = []
@@ -186,10 +188,11 @@ def make_cornell_box(light_scale: float = 1.0,
     if textured:
         from .types import (FILTER_LINEAR, MIP_NONE, TextureStack,
                             WRAP_REPEAT)
-        albedo = make_checker_texture(8, 4, (1.0, 1.0, 1.0),
-                                      (0.55, 0.55, 0.55))
-        mr = np.ones((8, 8, 4), np.float32)
-        xx = np.arange(8, dtype=np.float32) / 7.0
+        ts = tex_size
+        albedo = make_checker_texture(ts, 4 if ts <= 16 else 8,
+                                      (1.0, 1.0, 1.0), (0.55, 0.55, 0.55))
+        mr = np.ones((ts, ts, 4), np.float32)
+        xx = np.arange(ts, dtype=np.float32) / (ts - 1.0)
         mr[..., 1] = 0.4 + 0.6 * xx[None, :]   # roughness scale ramp
         mr[..., 2] = 1.0                       # metallic scale (factor rules)
         textures = TextureStack.from_images(

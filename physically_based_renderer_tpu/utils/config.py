@@ -70,8 +70,18 @@ _register(BenchConfig(
 ))
 _register(BenchConfig(
     name="helmet",
-    description="config #4: DamagedHelmet-class mesh (~100k tris) with HDR "
-                "environment map, cluster/LBVH traversal",
+    description="config #4: DamagedHelmet-class .glb asset (~100k tris, 3 "
+                "materials, 4 mixed-size textures incl. normal + emissive "
+                "maps) with HDR environment map, authored+ingested through "
+                "the full glTF pipeline (scene/helmet_asset.py)",
+    render=RenderConfig(width=512, height=512, spp=4, max_bounces=3),
+    scene=SceneSpec(builder="helmet_glb", camera_position=(0.0, 0.1, 3.0),
+                    camera_target=(0.0, 0.0, 0.0), fov_y=1.0),
+))
+_register(BenchConfig(
+    name="helmet_proc",
+    description="round-4 helmet stand-in (procedurally displaced textured "
+                "sphere + HDR env), kept for perf A/B against BENCH_r04",
     # Measured on v5e (tools/prof_k32.py): k=128 clusters edge out the
     # k=32 lane-group variant here (9.0 vs 11.9 ms/closest pass) — the
     # kernel is chunk-iteration-bound and finer candidates double the
@@ -79,6 +89,15 @@ _register(BenchConfig(
     render=RenderConfig(width=512, height=512, spp=4, max_bounces=3),
     scene=SceneSpec(builder="helmet", camera_position=(0.0, 0.0, 3.0),
                     camera_target=(0.0, 0.0, 0.0), fov_y=1.0),
+))
+_register(BenchConfig(
+    name="cornell_tex256",
+    description="realistic-texture tier (VERDICT r4 #2): cornell_ggx with "
+                "256x256 albedo + metallic-roughness maps — too big for "
+                "SMEM select-loops, exercises indexed texel fetches",
+    render=RenderConfig(width=512, height=512, spp=4, max_bounces=4),
+    scene=SceneSpec(builder="cornell_ggx",
+                    extra={"roughness": 0.25, "tex_size": 256}),
 ))
 _register(BenchConfig(
     name="inverse",
@@ -107,9 +126,15 @@ def build_scene(spec: SceneSpec):
         scene = procedural.make_cornell_box(
             metallic_tall_block=True,
             roughness=spec.extra.get("roughness", 0.25),
-            textured=True)
+            textured=True,
+            tex_size=spec.extra.get("tex_size", 8))
     elif b == "helmet":
         scene = procedural.make_helmet_class_scene(**spec.extra)
+    elif b == "helmet_glb":
+        # The real binary-asset path: author (cached) -> export_glb ->
+        # full scene/gltf.py ingest -> env attach (scene/helmet_asset.py).
+        from ..scene.helmet_asset import load_helmet_scene
+        scene = load_helmet_scene(**spec.extra)
     elif b == "gltf":
         from ..scene import gltf as gltf_mod
         scene, _, camera = gltf_mod.load(spec.extra["path"])

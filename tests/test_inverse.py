@@ -176,3 +176,13 @@ def test_spmd_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1.base_color_factor),
                                np.asarray(pN.base_color_factor), atol=5e-4,
                                rtol=1e-3)
+    # Guard against gradient-SCALE bugs the atol above can mask (r5 found
+    # an n x inflation from shard_map autodiff's implicit psum stacking on
+    # the explicit one): update norms must match to a few percent.
+    d1 = np.asarray(p1.base_color_factor) - np.asarray(
+        scene.materials.base_color_factor)
+    dN = np.asarray(pN.base_color_factor) - np.asarray(
+        scene.materials.base_color_factor)
+    assert np.linalg.norm(d1) > 0.0
+    np.testing.assert_allclose(np.linalg.norm(dN), np.linalg.norm(d1),
+                               rtol=0.03)
