@@ -113,7 +113,36 @@ def _bench_scaling(sizes=(1, 2, 4, 8), spp=4, side=256, steps=3):
            "efficiency_metric": ("overhead_efficiency (ideal 1.0: shared "
                                  "cores)" if virtual
                                  else "parallel efficiency (ideal 1.0)"),
+           "caveat": ("virtual CPU mesh: N 'devices' share one host's "
+                      "cores and collectives are host memcpys — these "
+                      "numbers validate the shard_map program STRUCTURE "
+                      "and its overhead scaling, not ICI scaling; "
+                      "'speedup' > 1 only means the unsharded baseline "
+                      "under-utilizes the host" if virtual else
+                      "real devices: efficiency is parallel efficiency "
+                      "vs N x single-device throughput"),
            "render": {}, "train_step": {}}
+    def timed(fn, iters=3):
+        """Warm until two consecutive timings agree within 25% (the CPU
+        backend reaches steady state only after SEVERAL dispatches —
+        r4's 1-warm-call timings measured warm-up, not the program: the
+        N=8 train step is ~65 ms steady-state but seconds during the
+        first handful of calls), then time `iters` calls."""
+        jax.block_until_ready(fn(0))
+        prev = None
+        for w in range(1, 12):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(w))
+            dt = time.perf_counter() - t0
+            if prev is not None and abs(dt - prev) <= 0.25 * min(dt, prev):
+                break
+            prev = dt
+        t0 = time.perf_counter()
+        for i in range(iters):
+            r = fn(100 + i)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / iters
+
     base_render = base_train = None
     for n in sizes:
         if n > len(devices):
@@ -121,16 +150,11 @@ def _bench_scaling(sizes=(1, 2, 4, 8), spp=4, side=256, steps=3):
         mesh = make_mesh(devices[:n])
         s = replicate_scene(scene, mesh)
 
-        def run_render(key):
-            return render_sharded(s, camera, key, cfg, mesh).hdr.mean()
+        def run_render(i):
+            return render_sharded(s, camera, jax.random.key(i), cfg,
+                                  mesh).hdr.mean()
 
-        r = jax.block_until_ready(run_render(jax.random.key(0)))
-        t0 = time.perf_counter()
-        iters = 3
-        for i in range(iters):
-            r = run_render(jax.random.key(i))
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / iters
+        dt = timed(run_render)
         # rays ~ proportional; report frames/s and normalized speedup
         fps = 1.0 / dt
         if base_render is None:
@@ -146,15 +170,12 @@ def _bench_scaling(sizes=(1, 2, 4, 8), spp=4, side=256, steps=3):
         params = TrainableParams.from_scene(s, base_color=True,
                                             emissive=True)
         opt_state = optax.adam(1e-2).init(params)
-        params2, opt_state2, loss = step(params, opt_state,
-                                         jax.random.key(0), target)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for i in range(steps):
-            params2, opt_state2, loss = step(params2, opt_state2,
-                                             jax.random.key(i), target)
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / steps
+
+        def run_step(i):
+            _, _, loss = step(params, opt_state, jax.random.key(i), target)
+            return loss
+
+        dt = timed(run_step, iters=steps)
         sps = 1.0 / dt
         if base_train is None:
             base_train = sps

@@ -30,7 +30,15 @@ in when vertex positions are trainable and an EdgeTable is supplied.
 
 Scope (documented limitation): primary (camera) visibility only — the
 dominant term for geometry recovery; secondary-bounce silhouettes remain
-interior-only.
+interior-only.  MEASURED bias (tests/test_edge_grad.py
+test_secondary_visibility_gap_quantified): on a scene where only a SHADOW
+boundary moves through the view (blocker silhouette outside the frustum),
+finite differences give dL/dtheta = -0.028 while this estimator returns
+exactly 0 — indirect/shadow silhouettes are 100% uncovered, by
+construction.  Handling them needs boundary sampling at secondary vertices
+(Li et al. 2018 section 4) — edge sampling with the path prefix as the
+"camera", which multiplies the probe cost per bounce and is left as the
+documented next step.
 """
 
 from __future__ import annotations

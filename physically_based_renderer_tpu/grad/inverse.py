@@ -149,7 +149,7 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
                                     donate=donate, edges=edges,
                                     edge_samples=edge_samples)
 
-    def loss_fn(params: TrainableParams, key, target):
+    def loss_fn(params: TrainableParams, scene, key, target):
         s = _with_live_accel(apply_params(scene, params), params)
         if edges is None:
             film = render(s, camera, key, cfg)
@@ -162,12 +162,18 @@ def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
         return loss + edge_boundary_loss(s, camera, cfg, dLdI, k_edge,
                                          edges, n_samples=edge_samples)
 
+    # Scene rides as a jit ARGUMENT, not a closure, so the step never
+    # re-embeds scene buffers as program constants.
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def step(params, opt_state, key, target):
-        loss, grads = jax.value_and_grad(loss_fn)(params, key, target)
+    def step_impl(params, opt_state, scene, key, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, key,
+                                                  target)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params, opt_state, key, target):
+        return step_impl(params, opt_state, scene, key, target)
 
     return step
 
@@ -270,10 +276,14 @@ def make_train_step_spmd(scene: Scene, camera: Camera, cfg: RenderConfig,
         out_specs=(P(), P(), P()))
 
     # Donation as in make_train_step: consumed params/opt_state buffers are
-    # reused for the updated ones.
+    # reused for the updated ones.  Scene rides as a jit argument (no
+    # per-program constant embedding of the replicated buffers).
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def step(params, opt_state, key, target):
+    def step_impl(params, opt_state, scene, key, target):
         return sharded(params, opt_state, scene, key, target)
+
+    def step(params, opt_state, key, target):
+        return step_impl(params, opt_state, scene, key, target)
 
     return step
 

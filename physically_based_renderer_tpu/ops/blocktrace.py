@@ -414,12 +414,13 @@ def _impl_pallas(grid: ClusterGrid, geometry, o, d, t_max_arr, *,
     # every slot index < n_u to be addressable, so pad the candidate list
     # to a whole number of chunks with the sentinel cluster.
     if grid.k == 32:
-        chunk = 4              # lane-group layout: 4 sub-clusters per row
+        # lane-group layout: 4 sub-clusters per 128-lane row, chunk a
+        # multiple of 4 (ch=16 -> the 512-lane wide-chunk math).  Pad the
+        # candidate list to whole chunks even when it is shorter (tiny
+        # scenes).
+        chunk = max(4, (chunk // 4) * 4)
         n_u = u_idx.shape[1]
-        # The k=32 kernel's chunk width is FIXED at 4 sub-clusters (one
-        # 128-lane row), so the candidate list must pad to a multiple of
-        # 4 even when it is shorter than 4 (tiny scenes).
-        n_u_pad = _round_up(n_u, 4)
+        n_u_pad = _round_up(n_u, chunk)
     else:
         n_u = u_idx.shape[1]
         n_u_pad = _round_up(n_u, min(chunk, n_u))

@@ -77,12 +77,15 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
     def dma_soup(slot, i, u):
         cl = u_ref[g * n_u + u]
         if k32:
-            # K=32 sub-clusters: fetch lane-group VARIANT i (an aligned
+            # K=32 sub-clusters: fetch lane-group VARIANT i%4 (an aligned
             # [16, 128] tile; see accel/clusters.pack_soup32) into sublane
-            # slot i.  Lane-offset destinations are not DMA-able on TPU,
+            # block i.  Lane-offset destinations are not DMA-able on TPU,
             # which is exactly what the 4-variant storage works around.
+            # With ch > 4 (the r5 wide-chunk layout) candidate i lands in
+            # lane GROUP i//4 at assembly time; here it just takes sublane
+            # block i of the chunk buffer.
             return pltpu.make_async_copy(
-                soup_hbm.at[cl * 4 + i],
+                soup_hbm.at[cl * 4 + (i % 4)],
                 soup_buf.at[slot, pl.ds(i * 16, 16), :],
                 soup_sem.at[slot, i])
         return pltpu.make_async_copy(
@@ -120,48 +123,56 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
 
         wait_chunk(slot)
 
-        if k32:
-            # Assemble component rows: variant i is zero outside its
-            # 32-lane group, so the union of the chunk's ch sub-clusters
-            # is a plain SUM of the ch buffered tiles' rows.
-            def row(c):
-                acc = soup_buf[slot, c, :]
-                for i in range(1, ch):
-                    acc = acc + soup_buf[slot, i * 16 + c, :]
-                return acc[None, :]
-        else:
-            def row(c):
-                return soup_buf[slot, c, :][None, :]
-        v0x = row(0)                     # [1, CH*K]
-        v0y = row(1)
-        v0z = row(2)
-        e1x = row(3)
-        e1y = row(4)
-        e1z = row(5)
-        e2x = row(6)
-        e2y = row(7)
-        e2z = row(8)
+        def mt_rows(rows):
+            """Moller-Trumbore for one set of component rows [1, Wg] ->
+            (tt, ok) each [B, Wg]."""
+            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = rows
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = px * e1x + py * e1y + pz * e1z
+            inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+            tx = rox - v0x
+            ty = roy - v0y
+            tz = roz - v0z
+            uu = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt > t_min) & (tt < rtm))
+            return tt, ok
 
-        # Moller-Trumbore, [B, CH*K] lanes.
-        px = rdy * e2z - rdz * e2y
-        py = rdz * e2x - rdx * e2z
-        pz = rdx * e2y - rdy * e2x
-        det = px * e1x + py * e1y + pz * e1z
-        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-        tx = rox - v0x
-        ty = roy - v0y
-        tz = roz - v0z
-        uu = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        vv = (rdx * qx + rdy * qy + rdz * qz) * inv
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-        ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-              & (tt > t_min) & (tt < rtm))
+        if k32:
+            # Assemble per GROUP of 4 consecutive sub-clusters: variant
+            # i%4 is zero outside its 32-lane group, so each group sums to
+            # full [1, 128] component rows, and the MT math + winner
+            # reduction run per group on plain [B, 128] tiles (no lane
+            # concatenation — Mosaic has no cross-group shape cast).
+            # Group gi covers flat lanes [gi*128, gi*128+128), so the
+            # generic flat//k winner decode is unchanged.
+            def group_rows(gi):
+                rows = []
+                for cc in range(9):
+                    acc = soup_buf[slot, (4 * gi) * 16 + cc, :]
+                    for i in range(1, 4):
+                        acc = acc + soup_buf[slot,
+                                             (4 * gi + i) * 16 + cc, :]
+                    rows.append(acc[None, :])
+                return rows
+
+            results = [mt_rows(group_rows(gi)) for gi in range(ch // 4)]
+        else:
+            rows = [soup_buf[slot, cc, :][None, :] for cc in range(9)]
+            results = [mt_rows(rows)]
+
         if any_hit:
-            occ = jnp.maximum(
-                occ, jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True))
+            for tt, ok in results:
+                occ = jnp.maximum(
+                    occ,
+                    jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True))
             # exit once every live lane is occluded, OR once the next
             # candidate's conservative entry lies beyond every still-
             # unoccluded lane's t_max (candidates are entry-sorted, so no
@@ -177,11 +188,19 @@ def _mt_kernel_body(u_ref, nv_ref, entry_ref, ox, oy, oz, dx, dy, dz, tmax,
             done = jnp.maximum(1 - rem,
                                (nxt_entry > rem_tmax).astype(jnp.int32))
             return j + 1, best_t, best_flat, occ, done
-        tt = jnp.where(ok, tt, BIG)
-        tmin_row = jnp.min(tt, axis=1, keepdims=True)        # [B,1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-        kmin = jnp.min(jnp.where(tt <= tmin_row, lane, w), axis=1,
-                       keepdims=True)
+        # Per-group running min + argmin, combined at [B, 1] width.
+        tmin_row = jnp.full((b, 1), BIG, jnp.float32)
+        kmin = jnp.full((b, 1), 0, jnp.int32)
+        for gi, (tt, ok) in enumerate(results):
+            wg = tt.shape[1]
+            tt = jnp.where(ok, tt, BIG)
+            tmin_g = jnp.min(tt, axis=1, keepdims=True)      # [B,1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (b, wg), 1)
+            kmin_g = jnp.min(jnp.where(tt <= tmin_g, lane, wg), axis=1,
+                             keepdims=True)
+            better_g = tmin_g < tmin_row
+            tmin_row = jnp.where(better_g, tmin_g, tmin_row)
+            kmin = jnp.where(better_g, gi * wg + kmin_g, kmin)
         better = tmin_row < best_t
         best_t = jnp.where(better, tmin_row, best_t)
         best_flat = jnp.where(better, j * w + kmin, best_flat)
@@ -261,8 +280,14 @@ def trace_blocks_pallas(u_idx, o_comp, d_comp, t_max, soup, tri_ids, *,
         k = soup.shape[2]
     k32 = k == 32
     c = (soup.shape[0] // 4 if k32 else soup.shape[0]) - 1
-    # k=32 packs exactly 4 sub-clusters (lane groups) per chunk row.
-    ch = 4 if k32 else min(chunk, n_u)
+    # k=32 packs 4 sub-clusters (lane groups) per chunk ROW; ch must be a
+    # multiple of 4 rows' worth (ch sub-clusters -> ch/4 concatenated
+    # 128-lane groups).  ch=16 matches the k=128/ch=4 math width (512
+    # lanes) with ~4x tighter candidates — the r5 wide-chunk layout.
+    if k32:
+        ch = max(4, (min(chunk, n_u) // 4) * 4)
+    else:
+        ch = min(chunk, n_u)
     # Contract: whole chunks only.  Tail slots of a partial chunk would
     # clamp to (and refetch) the LAST real candidate; if that duplicate won,
     # the winner decode (flat // k in ops/blocktrace.py) would read past the

@@ -140,9 +140,14 @@ def test_bvh_differentiable_wrt_positions():
     np.testing.assert_allclose(float(grad), float(fd), rtol=1e-2)
 
 
-def test_k32_subcluster_tracer_matches_brute():
+import pytest
+
+
+@pytest.mark.parametrize("chunk", [4, 16])
+def test_k32_subcluster_tracer_matches_brute(chunk):
     """K=32 lane-group variant layout (accel/clusters.pack_soup32 +
-    ops/pallas_trace k32 path) agrees with brute force (interpret mode)."""
+    ops/pallas_trace k32 path) agrees with brute force (interpret mode).
+    chunk=16 is the r5 wide-chunk layout (4 concatenated lane groups)."""
     import jax.numpy as jnp
     from physically_based_renderer_tpu.ops.blocktrace import (
         intersect_blocks_pallas)
@@ -166,7 +171,7 @@ def test_k32_subcluster_tracer_matches_brute():
 
     h = intersect_blocks_pallas(scene.clusters, scene.geometry, o, d,
                                 t_min=1e-4, block=128, max_u=96,
-                                interpret=True)
+                                interpret=True, chunk=chunk)
     v0, v1, v2 = scene.geometry.tri_vertices()
     hb = intersect_brute(o, d, v0, v1, v2, t_min=1e-4)
     t_p, t_b = np.asarray(h.t), np.asarray(hb.t)
@@ -178,12 +183,13 @@ def test_k32_subcluster_tracer_matches_brute():
     occ = intersect_blocks_pallas(scene.clusters, scene.geometry, o, d,
                                   t_min=1e-4, t_max=3.0, any_hit=True,
                                   block=128, max_u=96, interpret=True,
-                                  sort=True)
+                                  sort=True, chunk=chunk)
     ob = occluded_brute(o, d, v0, v1, v2, t_min=1e-4, t_max=3.0)
     assert (np.asarray(occ) == np.asarray(ob)).all()
 
 
-def test_k32_partial_final_chunk_and_tiny_scene():
+@pytest.mark.parametrize("chunk", [4, 16])
+def test_k32_partial_final_chunk_and_tiny_scene(chunk):
     """Regressions: (a) a winner lying in a PARTIAL final chunk (real
     clusters sharing a chunk with sentinel padding) must still be found —
     the sentinel tiles must be all-zero, or their values corrupt the summed
@@ -212,7 +218,7 @@ def test_k32_partial_final_chunk_and_tiny_scene():
                             (len(centers), 1)))
     h = intersect_blocks_pallas(scene.clusters, scene.geometry, o, d,
                                 t_min=1e-4, block=128, max_u=96,
-                                interpret=True)
+                                interpret=True, chunk=chunk)
     hb = intersect_brute(o, d, v0, v1, v2, t_min=1e-4)
     t_p, t_b = np.asarray(h.t), np.asarray(hb.t)
     ok = np.isclose(t_p, t_b, rtol=1e-4, atol=1e-5) | (
@@ -227,7 +233,7 @@ def test_k32_partial_final_chunk_and_tiny_scene():
     d2 = jnp.asarray(np.tile(np.array([[0, 0, -1.0]], np.float32), (8, 1)))
     h2 = intersect_blocks_pallas(s2.clusters, s2.geometry, o2, d2,
                                  t_min=1e-4, block=8, max_u=96,
-                                 interpret=True)
+                                 interpret=True, chunk=chunk)
     v0b, v1b, v2b = s2.geometry.tri_vertices()
     hb2 = intersect_brute(o2, d2, v0b, v1b, v2b, t_min=1e-4)
     np.testing.assert_allclose(np.asarray(h2.t), np.asarray(hb2.t),
