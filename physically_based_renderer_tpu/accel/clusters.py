@@ -44,6 +44,14 @@ class ClusterGrid:
     # optimization they go stale — grad/inverse refreshes via refit.
     soup: jnp.ndarray | None = None        # f32[C+1, 9, K]
     tri_packed: jnp.ndarray | None = None  # i32[C+1, 1, K]
+    # PARENT boxes over groups of 4 CONSECUTIVE clusters (BVH order makes
+    # consecutive clusters spatial neighbors).  Phase A selects parents
+    # with a 4x smaller slab/top_k and expands children arithmetically
+    # (ids 4p..4p+3) — the hierarchical candidate selection the k=32
+    # sub-cluster grid needs (top_k over 4096 sub-clusters was costing
+    # more than the finer candidates saved).
+    parent_min: jnp.ndarray | None = None  # f32[ceil(C/4), 3]
+    parent_max: jnp.ndarray | None = None  # f32[ceil(C/4), 3]
 
     @property
     def num_clusters(self) -> int:
@@ -81,7 +89,24 @@ def build_clusters(positions: np.ndarray, indices: np.ndarray,
         tri_id[i, :count] = order[start:start + count]
         amin[i] = nmin[nid]
         amax[i] = nmax[nid]
-    return ClusterGrid(aabb_min=amin, aabb_max=amax, tri_id=tri_id)
+    pmin, pmax = _parent_boxes(amin, amax)
+    return ClusterGrid(aabb_min=amin, aabb_max=amax, tri_id=tri_id,
+                       parent_min=pmin, parent_max=pmax)
+
+
+def _parent_boxes(amin, amax, xp=np):
+    """Union boxes over groups of 4 consecutive clusters; the tail group
+    pads with inverted (never-hit) boxes."""
+    c = amin.shape[0]
+    npar = -(-c // 4)
+    pad = npar * 4 - c
+    big = xp.float32(3e30)
+    lo = xp.concatenate(
+        [amin, xp.full((pad, 3), big, xp.float32)], axis=0)
+    hi = xp.concatenate(
+        [amax, xp.full((pad, 3), -big, xp.float32)], axis=0)
+    return (lo.reshape(npar, 4, 3).min(axis=1),
+            hi.reshape(npar, 4, 3).max(axis=1))
 
 
 def _soup_components(grid: ClusterGrid, positions, indices, xp):
@@ -195,7 +220,11 @@ def refit_clusters(grid: ClusterGrid, geometry) -> ClusterGrid:
                                axis=0)
     if grid.soup is None:
         soup = None  # keep the pytree structure stable for jit
-    return grid.replace(aabb_min=amin, aabb_max=amax, soup=soup)
+    pmin = pmax = None
+    if grid.parent_min is not None:
+        pmin, pmax = _parent_boxes(amin, amax, xp=jnp)
+    return grid.replace(aabb_min=amin, aabb_max=amax, soup=soup,
+                        parent_min=pmin, parent_max=pmax)
 
 
 def cluster_tri_soup(grid: ClusterGrid, geometry):

@@ -138,8 +138,11 @@ def build_clusters_native(positions, indices,
                                _fptr(amax), _iptr(tri_id))
     if c < 0:
         raise ValueError("native cluster build failed")
+    from .clusters import _parent_boxes
+    pmin, pmax = _parent_boxes(amin[:c], amax[:c])
     return ClusterGrid(aabb_min=amin[:c].copy(), aabb_max=amax[:c].copy(),
-                       tri_id=tri_id[:c].copy())
+                       tri_id=tri_id[:c].copy(),
+                       parent_min=pmin, parent_max=pmax)
 
 
 def build_bvh_fast(positions, indices, leaf_size: int = LEAF_SIZE) -> BVH:

@@ -98,14 +98,23 @@ def sample_area_emitters(scene: Scene, p: jnp.ndarray, u1: jnp.ndarray,
     n = p.shape[0]
     if emitter_attrs is None:
         emitter_attrs = pack_emitter_attrs(scene)
-    # CDF inversion: dense compare for small emitter counts (fastest on
-    # the VPU), O(log E) searchsorted for emitter-rich scenes (a dense
-    # [N, E] compare at N=262k, E=15k would be 4G lanes per bounce).
+    # Emitter pick: dense CDF compare for small counts (fastest on the
+    # VPU); for emitter-rich scenes (e.g. a ~7.8k-tri emissive visor) the
+    # Walker alias table gives the SAME distribution in O(1) — 2 gathers,
+    # vs a [N, E] compare (4G lanes at 262k x 15k) or ~13 dependent
+    # searchsorted gather rounds (measured ~36 ms/bounce at 262k rays).
+    # u1 splits into (slot, accept) via the standard fractional reuse:
+    # slot = floor(u1*E), accept on frac(u1*E) — both uniform.
     if em.num_emitters <= 64:
         e_idx = jnp.sum((em.cdf[None, :] < u1[:, None]).astype(jnp.int32),
                         axis=-1)
     else:
-        e_idx = jnp.searchsorted(em.cdf, u1, side="left").astype(jnp.int32)
+        m = em.num_emitters
+        scaled = u1 * m
+        slot = jnp.clip(scaled.astype(jnp.int32), 0, m - 1)
+        frac = scaled - slot.astype(jnp.float32)
+        accept = frac < em.alias_prob[slot]
+        e_idx = jnp.where(accept, slot, em.alias_idx[slot])
     e_idx = jnp.clip(e_idx, 0, em.num_emitters - 1)
     rows = take_rows(emitter_attrs, e_idx)           # [N, 20] ONE fetch
     v0 = rows[:, 0:3]

@@ -331,8 +331,15 @@ def _select_candidates(grid, o_s, d_s, tm, nb, b, t_min, max_u):
     """Shared phase A: per-block interval culling + nearest-first top-U.
     Invalid slots get the sentinel cluster index C.  Also returns the
     per-block valid-candidate count and each candidate's conservative
-    entry-t (both drive the kernel's early exit)."""
-    n_pad = nb * b
+    entry-t (both drive the kernel's early exit).
+
+    Cluster-rich grids (k=32 sub-clusters) go HIERARCHICAL: slab + top_k
+    over the 4x smaller parent boxes, arithmetic expansion to the 4
+    consecutive children per parent, exact child slab, then a small
+    nearest-first top_k over the expanded list — a flat top_k(max_u) over
+    4096 sub-clusters was costing more than the finer candidates saved
+    (~6-8 ms per 262k-ray trace on v5e)."""
+    c = grid.num_clusters
     ob = o_s.reshape(nb, b, 3)
     db = d_s.reshape(nb, b, 3)
     tmb = tm.reshape(nb, b)
@@ -341,17 +348,74 @@ def _select_candidates(grid, o_s, d_s, tm, nb, b, t_min, max_u):
     o_ref = ob[:, :1, :]
     ob_m = jnp.where(lane_valid, ob, o_ref)
     inv_m = jnp.where(lane_valid, inv, inv[:, :1, :])
-    overlap, entry = _interval_slab(
-        grid.aabb_min, grid.aabb_max, ob_m.min(1), ob_m.max(1),
-        inv_m.min(1), inv_m.max(1), t_min, tmb.max(1))
-    score = jnp.where(overlap, -entry, -jnp.inf)
-    _, u_idx = jax.lax.top_k(score, min(max_u, grid.num_clusters))
-    u_valid = jnp.take_along_axis(overlap, u_idx, axis=1)
-    u_entry = jnp.where(u_valid,
-                        jnp.take_along_axis(entry, u_idx, axis=1), BIG)
+    o_lo, o_hi = ob_m.min(1), ob_m.max(1)
+    iv_lo, iv_hi = inv_m.min(1), inv_m.max(1)
+    tm_hi = tmb.max(1)
+
+    hierarchical = (grid.parent_min is not None and c > 4 * max_u)
+    if hierarchical:
+        n_par = grid.parent_min.shape[0]
+        ov_p, en_p = _interval_slab(grid.parent_min, grid.parent_max,
+                                    o_lo, o_hi, iv_lo, iv_hi, t_min, tm_hi)
+        n_sel = min(max(max_u // 2, 8), n_par)
+        _, p_idx = jax.lax.top_k(jnp.where(ov_p, -en_p, -jnp.inf), n_sel)
+        p_valid = jnp.take_along_axis(ov_p, p_idx, axis=1)   # [NB, NP]
+        child = (p_idx[:, :, None] * 4
+                 + jnp.arange(4, dtype=p_idx.dtype)).reshape(nb, -1)
+        c_ok = (child < c) & jnp.repeat(p_valid, 4, axis=1)
+        safe = jnp.minimum(child, c - 1)
+        cmin = grid.aabb_min[safe]                           # [NB, 4NP, 3]
+        cmax = grid.aabb_max[safe]
+        # per-block child slab (same interval math, boxes now per block)
+        overlap, entry = _interval_slab_local(
+            cmin, cmax, o_lo, o_hi, iv_lo, iv_hi, t_min, tm_hi)
+        overlap = overlap & c_ok
+        score = jnp.where(overlap, -entry, -jnp.inf)
+        k_sel = min(max_u, score.shape[1])
+        _, s_idx = jax.lax.top_k(score, k_sel)
+        u_idx = jnp.take_along_axis(child, s_idx, axis=1)
+        u_valid = jnp.take_along_axis(overlap, s_idx, axis=1)
+        u_entry = jnp.where(u_valid,
+                            jnp.take_along_axis(entry, s_idx, axis=1), BIG)
+    else:
+        overlap, entry = _interval_slab(
+            grid.aabb_min, grid.aabb_max, o_lo, o_hi, iv_lo, iv_hi,
+            t_min, tm_hi)
+        score = jnp.where(overlap, -entry, -jnp.inf)
+        _, u_idx = jax.lax.top_k(score, min(max_u, c))
+        u_valid = jnp.take_along_axis(overlap, u_idx, axis=1)
+        u_entry = jnp.where(u_valid,
+                            jnp.take_along_axis(entry, u_idx, axis=1), BIG)
     n_valid = jnp.sum(u_valid, axis=1).astype(jnp.int32)
-    u_idx = jnp.where(u_valid, u_idx, grid.num_clusters)  # sentinel
+    u_idx = jnp.where(u_valid, u_idx, c)                  # sentinel
     return u_idx, u_entry, n_valid, ob, db, tmb
+
+
+def _interval_slab_local(amin, amax, o_lo, o_hi, iv_lo, iv_hi, t_min,
+                         t_max_hi):
+    """_interval_slab with PER-BLOCK boxes: amin/amax [NB, M, 3]."""
+    def prod_bounds(a):
+        c1 = a * iv_lo[:, None, :]
+        c2 = a * iv_hi[:, None, :]
+        return jnp.minimum(c1, c2), jnp.maximum(c1, c2)
+
+    a_lo = amin - o_hi[:, None, :]
+    a_hi = amin - o_lo[:, None, :]
+    b_lo = amax - o_hi[:, None, :]
+    b_hi = amax - o_lo[:, None, :]
+    t0l1, t0h1 = prod_bounds(a_lo)
+    t0l2, t0h2 = prod_bounds(a_hi)
+    t0_lo = jnp.minimum(t0l1, t0l2)
+    t1l1, t1h1 = prod_bounds(b_lo)
+    t1l2, t1h2 = prod_bounds(b_hi)
+    t1_lo = jnp.minimum(t1l1, t1l2)
+    t0_hi = jnp.maximum(t0h1, t0h2)
+    t1_hi = jnp.maximum(t1h1, t1h2)
+    near_lo = jnp.minimum(t0_lo, t1_lo).max(axis=-1)
+    far_hi = jnp.maximum(t0_hi, t1_hi).min(axis=-1)
+    overlap = (near_lo <= far_hi) & (far_hi >= t_min) & (
+        near_lo <= t_max_hi[:, None])
+    return overlap, jnp.maximum(near_lo, 0.0)
 
 
 def pack_soup(grid: ClusterGrid, geometry):

@@ -201,13 +201,20 @@ class EmitterTable:
     area: jnp.ndarray      # f32[E] world-space area
     pdf_tri: jnp.ndarray   # f32[E] discrete prob of picking each emitter
     cdf: jnp.ndarray       # f32[E] inclusive CDF over pdf_tri
+    # Walker alias table over pdf_tri: O(1) emitter picks for emitter-rich
+    # scenes (a ~7.8k-emitter visor pays ~13 dependent gather rounds per
+    # NEE pass through searchsorted; the alias pick is 2 gathers).
+    alias_prob: jnp.ndarray = None  # f32[E]
+    alias_idx: jnp.ndarray = None   # i32[E]
 
     @classmethod
     def empty(cls) -> "EmitterTable":
         z = np.zeros((1,), np.float32)
         return cls(tri_idx=np.zeros((1,), np.int32),
                    valid=np.zeros((1,), bool),
-                   area=z, pdf_tri=z, cdf=np.ones((1,), np.float32))
+                   area=z, pdf_tri=z, cdf=np.ones((1,), np.float32),
+                   alias_prob=np.ones((1,), np.float32),
+                   alias_idx=np.zeros((1,), np.int32))
 
     @property
     def num_emitters(self) -> int:
@@ -405,8 +412,10 @@ def build_emitter_table(geometry, materials, pad_to: int | None = None,
     p[:e] = power[ids] / power[ids].sum()
     cdf = np.cumsum(p)
     cdf[e - 1:] = 1.0
+    alias_prob, alias_idx = _build_alias_table(p)
     return EmitterTable(tri_idx=tri_idx, valid=valid, area=areas, pdf_tri=p,
-                        cdf=cdf.astype(np.float32))
+                        cdf=cdf.astype(np.float32),
+                        alias_prob=alias_prob, alias_idx=alias_idx)
 
 
 def upload_scene(scene: Scene, device=None, sharding=None) -> Scene:

@@ -88,6 +88,31 @@ def test_nee_radiance_matches_texture(scene):
                                atol=1e-5)
 
 
+def test_alias_pick_matches_cdf_distribution():
+    """Emitter-rich scenes pick via the Walker alias table (O(1)); the
+    empirical pick distribution must match pdf_tri."""
+    from physically_based_renderer_tpu.scene.procedural import make_uv_sphere
+    from physically_based_renderer_tpu.scene.types import make_scene
+    import numpy as np
+
+    g = make_uv_sphere(radius=1.0, rings=10, sectors=10)   # 200 tris
+    m = Materials.default(1)
+    m = m.replace(emissive_factor=np.array([[2.0, 2.0, 2.0]], np.float32))
+    s = make_scene(g, m)
+    em = s.emitters
+    assert em.num_emitters > 64          # alias path active
+    n = 200_000
+    u = np.asarray(jax.random.uniform(jax.random.key(0), (n,)))
+    mm = em.num_emitters
+    scaled = u * mm
+    slot = np.clip(scaled.astype(np.int32), 0, mm - 1)
+    frac = scaled - slot
+    accept = frac < np.asarray(em.alias_prob)[slot]
+    e_idx = np.where(accept, slot, np.asarray(em.alias_idx)[slot])
+    counts = np.bincount(e_idx, minlength=mm) / n
+    np.testing.assert_allclose(counts, np.asarray(em.pdf_tri), atol=3e-3)
+
+
 def test_textured_emitter_nee_unbiased(scene):
     cam = Camera.make(position=(0.0, 0.9, 3.2), target=(0.0, 0.5, 0.0),
                       fov_y=1.0)
