@@ -316,6 +316,14 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         o_next_base = sp.pos + sp.ng * cfg.ray_eps
 
         # --- NEE --------------------------------------------------------
+        # One occluded() call PER light family.  Batching the families
+        # into a single 2N-ray call was tried (they share shadow origins)
+        # and measured 40 ms/sample-pass SLOWER on the glb helmet: the
+        # in-call sort mixes area rays (short t_max, visor-bound) with
+        # env rays (root-box t_max) in the same direction-bin blocks,
+        # and the heterogeneous t_max population defeats the any-hit
+        # early exit's max-over-open-lanes clause.  Kept separate —
+        # homogeneous populations beat one dispatch.
         if cfg.nee:
             n_shadow = float((1 if has_emitters else 0)
                              + (1 if has_env else 0)
@@ -324,22 +332,27 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                 active.astype(jnp.float32))
             u = rng_mod.ray_uniform(keys, bounce, rng_mod.STREAM_LIGHT, 5)
 
+            pending = []          # (contrib_if_visible [N,3])
             if has_emitters:
                 ls = lights_mod.sample_area_emitters(
                     scene, sg(sp.pos), u[:, 0], u[:, 1:3],
                     emitter_attrs=emitter_attrs, pyramid=pyramid)
-                L = L + _nee_contrib(scene, sp, wo, d, ls, throughput,
-                                     active, o_next_base, cfg, mis=cfg.mis)
+                pending.append(_nee_prepare(sp, wo, ls, throughput, active,
+                                            mis=cfg.mis))
             if has_env:
                 es = lights_mod.sample_env(scene, n, u[:, 3:5])
-                L = L + _nee_contrib(scene, sp, wo, d, es, throughput,
-                                     active, o_next_base, cfg, mis=cfg.mis)
+                pending.append(_nee_prepare(sp, wo, es, throughput, active,
+                                            mis=cfg.mis))
             # Directional (delta) light: always NEE, never MIS.
             if scene.has_directional:
                 dl = lights_mod.sample_directional(scene, n)
-                L = L + _nee_contrib(scene, sp, wo, d, dl, throughput,
-                                     active, o_next_base, cfg, mis=False,
-                                     delta=True)
+                pending.append(_nee_prepare(sp, wo, dl, throughput, active,
+                                            mis=False, delta=True))
+            o_sh = sg(o_next_base)
+            for wi_w, t_max_s, contrib in pending:
+                occ = occluded(scene, o_sh, wi_w, t_min=cfg.ray_eps,
+                               t_max=t_max_s, cfg=cfg)
+                L = L + jnp.where((~occ)[:, None], contrib, 0.0)
 
         # --- BSDF sampling ----------------------------------------------
         ub = rng_mod.ray_uniform(keys, bounce, rng_mod.STREAM_BSDF, 3)
@@ -372,26 +385,26 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     return L
 
 
-def _nee_contrib(scene, sp, wo, d, ls, throughput, active, o_shadow,
-                 cfg, mis: bool, delta: bool = False):
-    """Shadow-ray test + weighted NEE contribution for one light sample."""
+def _nee_prepare(sp, wo, ls, throughput, active, mis: bool,
+                 delta: bool = False):
+    """BSDF-weighted NEE contribution for one light sample, WITHOUT the
+    occlusion test: returns (wi_world, t_max, contrib_if_visible) so the
+    caller can batch all light families into one shadow trace.  Hopeless
+    lanes get t_max=0 (already-zero contribution): static shape, but the
+    block tracer's bundle bounds and live-lane early exit skip them."""
     n = wo.shape[0]
     wi_w = sg(ls.wi)
     wi = math3d.to_local(wi_w, sp.tang, sp.bitang, sp.ns)
     f, pdf_b = eval_bsdf(sp.bsdf, wo, wi)
     cos_i = jnp.maximum(wi[..., 2], 0.0)
     cand = active & ls.valid & (sg(cos_i) > 1e-7) & (sg(ls.pdf) > 0.0)
-    # Hopeless lanes get t_max=0: static shape, but the block tracer's
-    # bundle bounds and live-lane early exit skip them (see closest_hit).
     t_max = jnp.where(sg(cand), sg(ls.dist) * (1.0 - 1e-3), 0.0)
-    occ = occluded(scene, sg(o_shadow), wi_w, t_min=cfg.ray_eps,
-                   t_max=t_max, cfg=cfg)
-    vis = cand & ~occ
     w = _power_mis(ls.pdf, pdf_b) if (mis and not delta) else jnp.ones(
         (n,), jnp.float32)
     contrib = (throughput * f * ls.radiance
                * (cos_i * w / jnp.maximum(sg(ls.pdf), 1e-12))[:, None])
-    return jnp.where(vis[:, None], contrib, 0.0)
+    contrib = jnp.where(cand[:, None], contrib, 0.0)
+    return wi_w, t_max, contrib
 
 
 # ---------------------------------------------------------------------------

@@ -74,7 +74,10 @@ _register(BenchConfig(
                 "materials, 4 mixed-size textures incl. normal + emissive "
                 "maps) with HDR environment map, authored+ingested through "
                 "the full glTF pipeline (scene/helmet_asset.py)",
-    render=RenderConfig(width=512, height=512, spp=4, max_bounces=3),
+    # block_size=512 measured best on v5e (269 vs 277 ms/spp at 256);
+    # k=128 clusters beat k=32 wide-chunks here (PERF.md r5 study).
+    render=RenderConfig(width=512, height=512, spp=4, max_bounces=3,
+                        block_size=512),
     scene=SceneSpec(builder="helmet_glb", camera_position=(0.0, 0.1, 3.0),
                     camera_target=(0.0, 0.0, 0.0), fov_y=1.0),
 ))
