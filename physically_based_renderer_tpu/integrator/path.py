@@ -74,6 +74,13 @@ class RenderConfig:
     #                               set by render_sample_sharded(
     #                               exchange=True).  PRIMAL renders only:
     #                               exchanged rays are detached.
+    batch_spp: bool = False       # trace ALL spp as one ray stream instead
+    #                               of a scan of per-sample passes: blocks
+    #                               then cover spp x less screen area
+    #                               (tighter candidate bundles) and
+    #                               per-call costs amortize.  Same RNG
+    #                               streams as the scan — statistically
+    #                               identical images.  Primal renders.
 
 
 
@@ -526,7 +533,10 @@ def render_with_stats(scene: Scene, camera: Camera, key: jax.Array,
 
 def _render_with_stats_dense(scene: Scene, camera: Camera, key: jax.Array,
                              cfg: RenderConfig):
-    """Dense (scan-over-spp) render + ray-query count."""
+    """Dense render + ray-query count (scan over spp, or one batched
+    stream of all spp when cfg.batch_spp)."""
+    if cfg.batch_spp:
+        return _render_batched_spp(scene, camera, key, cfg)
     film = Film.zeros(cfg.height, cfg.width)
     keys = jax.random.split(key, cfg.spp)
     tables = frame_tables(scene)
@@ -543,4 +553,48 @@ def _render_with_stats_dense(scene: Scene, camera: Camera, key: jax.Array,
     (film, count), _ = jax.lax.scan(body, (film, jnp.zeros((),
                                                            jnp.float32)),
                                     keys)
+    return film, count
+
+
+def _render_batched_spp(scene: Scene, camera: Camera, key: jax.Array,
+                        cfg: RenderConfig):
+    """All cfg.spp samples as ONE trace stream.
+
+    Rays order as [sample-major, morton-pixel within sample]... actually
+    sample-INNER: consecutive rays are the spp jitters of the same morton
+    pixel, so a block of B rays covers B/spp pixels — spp x tighter
+    candidate bundles for every trace call, and per-call fixed costs
+    amortize across samples.  Per-ray keys are the SAME
+    (sample key, global pixel id) streams as the scan path, so images
+    agree with it statistically (block composition only affects which
+    conservative candidates are dropped, not the estimator).
+    """
+    assert cfg.exchange_axis is None, "batch_spp is single-device primal"
+    from ..core.morton import morton_pixel_ids
+    tables = frame_tables(scene)
+    n_pix = cfg.height * cfg.width
+    spp = cfg.spp
+    skeys = jax.random.split(key, spp)
+
+    if _wants_morton(scene, cfg):
+        local = jnp.asarray(morton_pixel_ids(cfg.height, cfg.width))
+    else:
+        local = jnp.arange(n_pix)
+    pix = jnp.repeat(local, spp)                         # sample-inner
+    sample_id = jnp.tile(jnp.arange(spp), n_pix)
+    keys_per_sample = jax.vmap(lambda k: rng_mod.ray_keys(k, local),
+                               out_axes=1)(skeys)        # [n_pix, spp]
+    keys = keys_per_sample.reshape(-1)
+    jitter = rng_mod.ray_uniform(keys, 0, rng_mod.STREAM_PIXEL_JITTER, 2)
+    px = (pix % cfg.width).astype(jnp.float32)
+    py = (pix // cfg.width).astype(jnp.float32)
+    o, d = generate_rays_at(camera, cfg.width, cfg.height, px, py, jitter)
+    cone_angle = (2.0 * jnp.tan(camera.fov_y * 0.5) / cfg.height
+                  if scene.has_textures else None)
+    L, count = trace_radiance(scene, o, d, keys, cfg, return_stats=True,
+                              cone_angle=cone_angle, tables=tables)
+    del sample_id
+    hdr = jnp.zeros((n_pix, 3), jnp.float32).at[pix].add(L)
+    film = Film(hdr=hdr.reshape(cfg.height, cfg.width, 3),
+                spp=jnp.asarray(spp, jnp.float32))
     return film, count
